@@ -1,0 +1,262 @@
+"""Torch <-> JAX checkpoint conversion for M3AE.
+
+The reference saves PyTorch-Lightning ``.ckpt`` files whose ``state_dict``
+uses torch module paths like
+``vision_encoder.visual.transformer.resblocks.3.attn.in_proj_weight`` and
+``language_encoder.encoder.layer.5.attention.self.query.weight``
+(reference m3ae_module.py:104-142 load path).  This module maps those names
+onto the flax param tree bidirectionally so reference checkpoints load
+unchanged (and our checkpoints can be exported back for the reference).
+
+Transforms applied per tensor kind:
+  linear   : torch [out, in] -> flax kernel [in, out] (transpose)
+  packed   : torch MHA in_proj [3d, d] -> flax in_proj_kernel [d, 3d]
+  patch    : torch conv [width, 3, p, p] -> flax patch matmul [p*p*3, width]
+             flattened in (row, col, channel) order (clip_vit.patchify_image)
+  direct   : embeddings / LayerNorm / biases / 1-d params
+
+Loading follows the reference's ``strict=False`` semantics: extra torch
+keys are ignored, missing flax leaves keep their fresh init, and the CLIP
+position embedding is bicubic-re-interpolated to the configured resolution
+(clip_model.py:224-251) before the copy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from mm_vqa_healthcare_tpu.checkpoint.interpolate import (
+    adapt_clip_position_embedding)
+
+FlatParams = Dict[Tuple[str, ...], np.ndarray]
+
+
+def flatten(params) -> FlatParams:
+    from flax.traverse_util import flatten_dict
+    return dict(flatten_dict(params))
+
+
+def unflatten(flat: FlatParams):
+    from flax.traverse_util import unflatten_dict
+    return unflatten_dict(flat)
+
+
+# ---------------------------------------------------------------------------
+# name mapping: torch key -> (flax path, transform)
+# ---------------------------------------------------------------------------
+
+def _ln(torch_prefix: str, flax_path: Tuple[str, ...]):
+    return [
+        (f"{torch_prefix}.weight", flax_path + ("scale",), "direct"),
+        (f"{torch_prefix}.bias", flax_path + ("bias",), "direct"),
+    ]
+
+
+def _linear(torch_prefix: str, flax_path: Tuple[str, ...]):
+    return [
+        (f"{torch_prefix}.weight", flax_path + ("kernel",), "linear"),
+        (f"{torch_prefix}.bias", flax_path + ("bias",), "direct"),
+    ]
+
+
+def _bert_self_attention(tp: str, fp: Tuple[str, ...]):
+    rules = []
+    for name in ("query", "key", "value"):
+        rules += _linear(f"{tp}.self.{name}", fp + ("self", name))
+    rules += _linear(f"{tp}.output.dense", fp + ("output", "dense"))
+    rules += _ln(f"{tp}.output.LayerNorm", fp + ("output", "LayerNorm"))
+    return rules
+
+
+def _bert_layer(tp: str, fp: Tuple[str, ...], cross: bool):
+    rules = _bert_self_attention(f"{tp}.attention", fp + ("attention",))
+    if cross:
+        rules += _bert_self_attention(f"{tp}.crossattention", fp + ("crossattention",))
+    rules += _linear(f"{tp}.intermediate.dense", fp + ("intermediate", "dense"))
+    rules += _linear(f"{tp}.output.dense", fp + ("output", "dense"))
+    rules += _ln(f"{tp}.output.LayerNorm", fp + ("output", "LayerNorm"))
+    return rules
+
+
+def _clip_block(tp: str, fp: Tuple[str, ...]):
+    return [
+        (f"{tp}.attn.in_proj_weight", fp + ("attn", "in_proj_kernel"), "packed"),
+        (f"{tp}.attn.in_proj_bias", fp + ("attn", "in_proj_bias"), "direct"),
+        *_linear(f"{tp}.attn.out_proj", fp + ("attn", "out_proj")),
+        *_ln(f"{tp}.ln_1", fp + ("ln_1",)),
+        *_linear(f"{tp}.mlp.c_fc", fp + ("c_fc",)),
+        *_linear(f"{tp}.mlp.c_proj", fp + ("c_proj",)),
+        *_ln(f"{tp}.ln_2", fp + ("ln_2",)),
+    ]
+
+
+def _pooler(tp: str, fp: Tuple[str, ...]):
+    return _linear(f"{tp}.dense", fp + ("dense",))
+
+
+def build_rules(cfg) -> list:
+    """Full (torch key, flax path, transform) rule list for an M3AEConfig."""
+    from mm_vqa_healthcare_tpu.models.bert import text_encoder_config
+    from mm_vqa_healthcare_tpu.models.clip_vit import clip_vit_config
+
+    rules = []
+
+    # -- text tower ----------------------------------------------------------
+    text_cfg = text_encoder_config(cfg.tokenizer)
+    emb = ("language_encoder", "embeddings")
+    rules += [
+        ("language_encoder.embeddings.word_embeddings.weight",
+         emb + ("word_embeddings", "embedding"), "direct"),
+        ("language_encoder.embeddings.position_embeddings.weight",
+         emb + ("position_embeddings", "embedding"), "direct"),
+        ("language_encoder.embeddings.token_type_embeddings.weight",
+         emb + ("token_type_embeddings", "embedding"), "direct"),
+    ]
+    rules += _ln("language_encoder.embeddings.LayerNorm", emb + ("LayerNorm",))
+    for i in range(text_cfg.num_layers):
+        rules += _bert_layer(f"language_encoder.encoder.layer.{i}",
+                             ("language_encoder", f"layer_{i}"), cross=False)
+
+    # -- vision tower (CLIP) -------------------------------------------------
+    if cfg.is_clip:
+        vit_cfg = clip_vit_config(cfg.vit, cfg.image_size)
+        v = ("vision_encoder",)
+        rules += [
+            ("vision_encoder.visual.conv1.weight", v + ("patch_kernel",), "patch"),
+            ("vision_encoder.visual.class_embedding", v + ("class_embedding",), "direct"),
+            ("vision_encoder.visual.positional_embedding",
+             v + ("positional_embedding",), "clip_pos"),
+        ]
+        rules += _ln("vision_encoder.visual.ln_pre", v + ("ln_pre",))
+        rules += _ln("vision_encoder.visual.ln_post", v + ("ln_post",))
+        for i in range(vit_cfg.layers - 1):   # layers-1 quirk (clip_model.py:71)
+            rules += _clip_block(
+                f"vision_encoder.visual.transformer.resblocks.{i}",
+                v + ("transformer", f"resblocks_{i}"))
+    else:
+        from mm_vqa_healthcare_tpu.models.swin import swin_rules
+        rules += swin_rules(cfg)
+
+    # -- projections / type embeddings / fusion ------------------------------
+    rules += _linear("multi_modal_language_proj", ("multi_modal_language_proj",))
+    rules += _linear("multi_modal_vision_proj", ("multi_modal_vision_proj",))
+    rules += [("modality_type_embeddings.weight",
+               ("modality_type_embeddings", "embedding"), "direct")]
+    for i in range(cfg.num_top_layer):
+        rules += _bert_layer(f"multi_modal_language_layers.{i}",
+                             (f"multi_modal_language_layers_{i}",), cross=True)
+        rules += _bert_layer(f"multi_modal_vision_layers.{i}",
+                             (f"multi_modal_vision_layers_{i}",), cross=True)
+    rules += _pooler("multi_modal_language_pooler", ("multi_modal_language_pooler",))
+    rules += _pooler("multi_modal_vision_pooler", ("multi_modal_vision_pooler",))
+
+    # -- heads ---------------------------------------------------------------
+    if cfg.use_vqa_head:
+        rules += _linear("vqa_head.0", ("vqa_head", "fc1"))
+        rules += _ln("vqa_head.1", ("vqa_head", "ln"))
+        rules += _linear("vqa_head.3", ("vqa_head", "fc2"))
+    if cfg.use_mlm_head:
+        rules += _linear("mlm_head.transform.dense", ("mlm_head", "transform_dense"))
+        rules += _ln("mlm_head.transform.LayerNorm", ("mlm_head", "transform_LayerNorm"))
+        rules += [("mlm_head.decoder.weight", ("mlm_head", "decoder", "kernel"), "linear"),
+                  ("mlm_head.bias", ("mlm_head", "bias"), "direct")]
+    if cfg.use_itm_head:
+        rules += _linear("itm_head.fc", ("itm_head", "fc"))
+    if cfg.use_mim_head:
+        m = ("mim_head",)
+        rules += _linear("mim_head.decoder_embed", m + ("decoder_embed",))
+        rules += [("mim_head.mask_token", m + ("mask_token",), "direct")]
+        for i in range(cfg.mim_decoder_num_layers):  # (n+1)-1 blocks built
+            rules += _clip_block(f"mim_head.decoder.resblocks.{i}",
+                                 m + ("decoder", f"resblocks_{i}"))
+        rules += _ln("mim_head.decoder_norm", m + ("decoder_norm",))
+        rules += _linear("mim_head.decoder_pred", m + ("decoder_pred",))
+    return rules
+
+
+def _to_flax(value: np.ndarray, transform: str, cfg) -> np.ndarray:
+    if transform == "direct":
+        return value
+    if transform in ("linear", "packed"):
+        return np.ascontiguousarray(value.T)
+    if transform == "patch":
+        width = value.shape[0]
+        return np.ascontiguousarray(
+            value.transpose(2, 3, 1, 0).reshape(-1, width))
+    if transform == "clip_pos":
+        return adapt_clip_position_embedding(value, cfg.patch_size, cfg.image_size)
+    raise ValueError(transform)
+
+
+def _to_torch(value: np.ndarray, transform: str, cfg) -> np.ndarray:
+    if transform in ("direct", "clip_pos"):
+        return value
+    if transform in ("linear", "packed"):
+        return np.ascontiguousarray(value.T)
+    if transform == "patch":
+        width = value.shape[-1]
+        p = cfg.patch_size
+        return np.ascontiguousarray(
+            value.reshape(p, p, 3, width).transpose(3, 2, 0, 1))
+    raise ValueError(transform)
+
+
+def torch_state_dict_to_params(state_dict: Dict[str, np.ndarray], cfg,
+                               init_params=None, strict: bool = False):
+    """Map a reference state_dict onto flax params.
+
+    init_params: a freshly initialized param tree; leaves present in the
+    state_dict are replaced (strict=False load, m3ae_module.py:113).  If
+    None, a tree containing only the mapped leaves is returned.
+    """
+    rules = build_rules(cfg)
+    flat = flatten({"params": init_params["params"]}) if init_params else {}
+    loaded, missing = [], []
+    for torch_key, flax_path, transform in rules:
+        if torch_key not in state_dict:
+            missing.append(torch_key)
+            continue
+        value = np.asarray(state_dict[torch_key])
+        full_path = ("params",) + flax_path
+        new_value = _to_flax(value, transform, cfg).astype(np.float32)
+        if init_params is not None and full_path in flat:
+            expected = flat[full_path].shape
+            if tuple(new_value.shape) != tuple(expected):
+                raise ValueError(
+                    f"Shape mismatch for {torch_key}: torch {value.shape} -> "
+                    f"{new_value.shape}, flax expects {expected}")
+        flat[full_path] = new_value
+        loaded.append(torch_key)
+    if strict and missing:
+        raise KeyError(f"Missing {len(missing)} keys, e.g. {missing[:5]}")
+    return unflatten(flat), loaded, missing
+
+
+def params_to_torch_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """Export flax params as a reference-layout torch state_dict (numpy)."""
+    rules = build_rules(cfg)
+    flat = flatten({"params": params["params"]})
+    out: Dict[str, np.ndarray] = {}
+    for torch_key, flax_path, transform in rules:
+        full_path = ("params",) + flax_path
+        if full_path not in flat:
+            continue
+        out[torch_key] = _to_torch(np.asarray(flat[full_path]), transform, cfg)
+    return out
+
+
+def load_reference_checkpoint(path: str, cfg, init_params):
+    """Load a reference PL .ckpt (or raw state_dict file) into flax params.
+
+    Mirrors the reference load path: torch.load -> ["state_dict"] ->
+    adapt_position_encoding -> load_state_dict(strict=False)
+    (m3ae_module.py:104-142).
+    """
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    state_np = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in state_dict.items()}
+    return torch_state_dict_to_params(state_np, cfg, init_params)

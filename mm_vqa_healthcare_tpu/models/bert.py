@@ -1,0 +1,298 @@
+"""BERT / RoBERTa text encoder and the co-attention fusion layers.
+
+JAX re-design of the components the reference actually uses from its
+vendored HF-4.6 BERT fork (reference m3ae/modules/language_encoders/
+bert_model.py):
+
+  * BertEmbeddings      (bert_model.py:164-208; + RoBERTa position-id
+                         offsetting from HF RobertaEmbeddings)
+  * BertSelfAttention / BertSelfOutput / BertAttention (:211-413) with the
+    cross-attention path (kv from the other modality stream)
+  * BertIntermediate / BertOutput (post-LN FFN)
+  * BertLayer           (standard encoder block, used as the text encoder)
+  * BertCrossLayer      (:445-503 — self-attn -> cross-attn -> FFN; the
+                         multimodal fusion block)
+
+Parameter tree names mirror the torch module paths (query/key/value,
+attention.output.dense, intermediate.dense, output.dense, LayerNorm) so the
+checkpoint converter is a near-identity mapping.
+
+Attention math runs through ops.attention (Pallas fused kernel on TPU).
+Attention-probability dropout (HF semantics) forces the XLA path when
+active; with dropout off (eval / decode / bench) the fused kernel is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mm_vqa_healthcare_tpu.models.layers import Dense, LayerNorm, gelu_exact
+from mm_vqa_healthcare_tpu.ops.attention import (
+    dot_product_attention, merge_heads, split_heads)
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    pad_token_id: int = 0
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    is_roberta: bool = False
+    attention_impl: str = "auto"
+
+
+# Architecture presets for the pretrained text encoders the reference loads
+# via from_pretrained (m3ae_module.py:65-68).
+TEXT_ENCODER_PRESETS = {
+    "bert-base-uncased": TextEncoderConfig(),
+    "roberta-base": TextEncoderConfig(
+        vocab_size=50265, max_position_embeddings=514, type_vocab_size=1,
+        pad_token_id=1, is_roberta=True),
+    "roberta-large": TextEncoderConfig(
+        vocab_size=50265, hidden_size=1024, num_layers=24, num_heads=16,
+        intermediate_size=4096, max_position_embeddings=514,
+        type_vocab_size=1, pad_token_id=1, is_roberta=True),
+}
+
+
+def text_encoder_config(tokenizer_name: str, **overrides) -> TextEncoderConfig:
+    for key, preset in TEXT_ENCODER_PRESETS.items():
+        if key in tokenizer_name:
+            return dataclasses.replace(preset, **overrides)
+    if "roberta" in tokenizer_name:
+        return dataclasses.replace(TEXT_ENCODER_PRESETS["roberta-base"], **overrides)
+    return dataclasses.replace(TEXT_ENCODER_PRESETS["bert-base-uncased"], **overrides)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Config for BertCrossLayer fusion blocks (reference m3ae_module.py:24-44:
+    BertConfig(hidden_size, num_heads, intermediate=hidden*mlp_ratio,
+    dropout=drop_rate)); LN eps is the HF default 1e-12."""
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    attention_impl: str = "auto"
+
+
+def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
+    """HF create_position_ids_from_input_ids: pad tokens keep padding_idx,
+    real tokens get padding_idx + running count."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    incremental = jnp.cumsum(mask, axis=1) * mask
+    return incremental + pad_token_id
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + token-type embeddings, LN, dropout."""
+    cfg: TextEncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array,
+                 token_type_ids: Optional[jax.Array] = None,
+                 position_ids: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        seq_len = input_ids.shape[1]
+        if position_ids is None:
+            if cfg.is_roberta:
+                position_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
+            else:
+                position_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings",
+                        embedding_init=nn.initializers.normal(0.02),
+                        param_dtype=jnp.float32)(input_ids)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       name="position_embeddings",
+                       embedding_init=nn.initializers.normal(0.02),
+                       param_dtype=jnp.float32)(position_ids)
+        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                       name="token_type_embeddings",
+                       embedding_init=nn.initializers.normal(0.02),
+                       param_dtype=jnp.float32)(token_type_ids)
+        x = word + tok + pos
+        x = LayerNorm(eps=cfg.layer_norm_eps, name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class BertSelfAttention(nn.Module):
+    """Self- or cross-attention core (kv from encoder_hidden_states if given)."""
+    num_heads: int
+    attention_dropout: float = 0.1
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 attention_bias: Optional[jax.Array] = None,
+                 encoder_hidden_states: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        d = hidden_states.shape[-1]
+        kv_source = (encoder_hidden_states if encoder_hidden_states is not None
+                     else hidden_states)
+        q = split_heads(Dense(d, name="query")(hidden_states), self.num_heads)
+        k = split_heads(Dense(d, name="key")(kv_source), self.num_heads)
+        v = split_heads(Dense(d, name="value")(kv_source), self.num_heads)
+        use_prob_dropout = self.attention_dropout > 0.0 and not deterministic
+        if use_prob_dropout:
+            # HF applies dropout to the attention probabilities; that cannot
+            # fuse into the single-tile kernel yet, so compute via XLA.
+            depth = q.shape[-1]
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+            if attention_bias is not None:
+                scores = scores + attention_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.attention_dropout)(probs, deterministic=False)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
+        else:
+            ctx = dot_product_attention(q, k, v, attention_bias,
+                                        impl=self.attention_impl)
+        return merge_heads(ctx)
+
+
+class BertSelfOutput(nn.Module):
+    """dense -> dropout -> LN(x + residual) (reference bert_model.py:355-364)."""
+    hidden_dropout: float
+    layer_norm_eps: float
+
+    @nn.compact
+    def __call__(self, hidden_states, input_tensor, deterministic=True):
+        x = Dense(input_tensor.shape[-1], name="dense")(hidden_states)
+        x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
+        return LayerNorm(eps=self.layer_norm_eps, name="LayerNorm")(x + input_tensor)
+
+
+class BertAttention(nn.Module):
+    num_heads: int
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden_states, attention_bias=None,
+                 encoder_hidden_states=None, deterministic=True):
+        ctx = BertSelfAttention(self.num_heads, self.attention_dropout,
+                                self.attention_impl, name="self")(
+            hidden_states, attention_bias, encoder_hidden_states, deterministic)
+        return BertSelfOutput(self.hidden_dropout, self.layer_norm_eps,
+                              name="output")(ctx, hidden_states, deterministic)
+
+
+class BertIntermediate(nn.Module):
+    intermediate_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        return gelu_exact(Dense(self.intermediate_size, name="dense")(x))
+
+
+class BertOutput(nn.Module):
+    hidden_size: int
+    hidden_dropout: float
+    layer_norm_eps: float
+
+    @nn.compact
+    def __call__(self, hidden_states, input_tensor, deterministic=True):
+        x = Dense(self.hidden_size, name="dense")(hidden_states)
+        x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
+        return LayerNorm(eps=self.layer_norm_eps, name="LayerNorm")(x + input_tensor)
+
+
+class BertLayer(nn.Module):
+    """Standard post-LN encoder block (text encoder layer)."""
+    num_heads: int
+    intermediate_size: int
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden_states, attention_bias=None, deterministic=True):
+        d = hidden_states.shape[-1]
+        x = BertAttention(self.num_heads, self.hidden_dropout,
+                          self.attention_dropout, self.layer_norm_eps,
+                          self.attention_impl, name="attention")(
+            hidden_states, attention_bias, None, deterministic)
+        inter = BertIntermediate(self.intermediate_size, name="intermediate")(x)
+        return BertOutput(d, self.hidden_dropout, self.layer_norm_eps,
+                          name="output")(inter, x, deterministic)
+
+
+class BertCrossLayer(nn.Module):
+    """Fusion block: self-attn -> cross-attn -> FFN (bert_model.py:445-503).
+
+    Queries come from `hidden_states`, cross-attention keys/values from
+    `encoder_hidden_states` (the other modality stream).
+    """
+    num_heads: int
+    intermediate_size: int
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states,
+                 attention_bias=None, encoder_attention_bias=None,
+                 deterministic=True):
+        d = hidden_states.shape[-1]
+        x = BertAttention(self.num_heads, self.hidden_dropout,
+                          self.attention_dropout, self.layer_norm_eps,
+                          self.attention_impl, name="attention")(
+            hidden_states, attention_bias, None, deterministic)
+        x = BertAttention(self.num_heads, self.hidden_dropout,
+                          self.attention_dropout, self.layer_norm_eps,
+                          self.attention_impl, name="crossattention")(
+            x, encoder_attention_bias, encoder_hidden_states, deterministic)
+        inter = BertIntermediate(self.intermediate_size, name="intermediate")(x)
+        return BertOutput(d, self.hidden_dropout, self.layer_norm_eps,
+                          name="output")(inter, x, deterministic)
+
+
+class TextEncoder(nn.Module):
+    """BertModel / RobertaModel equivalent: embeddings + N BertLayers.
+
+    The reference drives the pretrained HF model manually — embeddings then
+    each encoder layer in a loop (m3ae_module.py:230-235); the HF pooler is
+    never used, so it is not built here (its weights are simply ignored by
+    the checkpoint converter).
+    """
+    cfg: TextEncoderConfig
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.cfg)
+        self.layers = [
+            BertLayer(self.cfg.num_heads, self.cfg.intermediate_size,
+                      self.cfg.hidden_dropout, self.cfg.attention_dropout,
+                      self.cfg.layer_norm_eps, self.cfg.attention_impl,
+                      name=f"layer_{i}")
+            for i in range(self.cfg.num_layers)
+        ]
+
+    def __call__(self, input_ids, attention_bias=None, deterministic=True):
+        x = self.embeddings(input_ids, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, attention_bias, deterministic)
+        return x

@@ -1,0 +1,92 @@
+"""Shared low-level layers.
+
+Numerics match the reference exactly where it matters for checkpoint parity:
+  * LayerNorm is computed in float32 and cast back (reference
+    clip_model.py:27-33 fp16-safe LayerNorm; BERT LN eps 1e-12 vs CLIP 1e-5).
+  * QuickGELU is x * sigmoid(1.702 x) (reference clip_model.py:36-38).
+  * gelu is the exact (erf) variant, matching torch.nn.GELU and HF "gelu".
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mm_vqa_healthcare_tpu.ops.attention import (
+    dot_product_attention, merge_heads, split_heads)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in float32 (fp16/bf16-safe), scale+bias params."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(orig_dtype)
+
+
+class Dense(nn.Module):
+    """nn.Dense with float32 params and configurable compute dtype."""
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class MultiHeadAttention(nn.Module):
+    """torch nn.MultiheadAttention equivalent (packed in_proj layout).
+
+    Used by the CLIP ViT blocks, the MIM decoder, and the generative decoder
+    head — anywhere the reference uses nn.MultiheadAttention.  Parameters
+    are stored as a packed [D, 3D] in_proj (split at apply time) so that the
+    torch checkpoint's ``attn.in_proj_weight`` maps over 1:1.
+    """
+    num_heads: int
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
+                 bias: Optional[jax.Array] = None) -> jax.Array:
+        d = query.shape[-1]
+        in_proj_w = self.param("in_proj_kernel", nn.initializers.normal(0.02),
+                               (d, 3 * d), jnp.float32)
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros,
+                               (3 * d,), jnp.float32)
+        dtype = query.dtype
+        wq, wk, wv = jnp.split(in_proj_w.astype(dtype), 3, axis=1)
+        bq, bk, bv = jnp.split(in_proj_b.astype(dtype), 3)
+        q = split_heads(jnp.dot(query, wq) + bq, self.num_heads)
+        k = split_heads(jnp.dot(key, wk) + bk, self.num_heads)
+        v = split_heads(jnp.dot(value, wv) + bv, self.num_heads)
+        ctx = dot_product_attention(q, k, v, bias, impl=self.attention_impl)
+        out = merge_heads(ctx)
+        return Dense(d, name="out_proj")(out)

@@ -1,0 +1,97 @@
+"""Multi-head attention core with pluggable implementations.
+
+The reference computes attention four ways (all torch eager):
+  * text self-attention   (HF BertSelfAttention, reference bert_model.py:211-350)
+  * image self-attention  (torch nn.MultiheadAttention, reference clip_model.py:41-63)
+  * bidirectional cross-attention text<->image (BertCrossLayer, bert_model.py:445-503)
+  * causal decoder self-attention (+ decode-time KV lookup, m3ae_decoder.py:38-90)
+
+Here they are all served by ONE primitive: scaled-dot-product attention on
+[B, H, S, D] operands with an additive bias.  On TPU it lowers to a fused
+Pallas kernel (ops/flash_attention.py); elsewhere (CPU tests) to a plain XLA
+einsum chain which the compiler fuses well.  Numerics: scores and softmax in
+float32 regardless of input dtype (matches reference fp16-safe behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large-negative for masking; safe in float32 softmax
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   bias: Optional[jax.Array]) -> jax.Array:
+    """Reference attention: [B,H,Sq,D] x [B,H,Sk,D] -> [B,H,Sq,D]."""
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _default_impl() -> str:
+    platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          bias: Optional[jax.Array] = None,
+                          impl: str = "auto") -> jax.Array:
+    """Scaled dot-product attention over [B, H, S, D] operands.
+
+    Args:
+      q: [B, H, Sq, D] queries.
+      k: [B, H, Sk, D] keys.
+      v: [B, H, Sk, D] values.
+      bias: optional additive bias broadcastable to [B, H, Sq, Sk]
+        (e.g. the reference's extended attention mask (1-m)*-10000, or a
+        causal mask).  Added to the float32 scores before softmax.
+      impl: "auto" | "pallas" | "xla".
+    """
+    if impl == "auto":
+        impl = _default_impl()
+    if impl == "pallas":
+        from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
+        return fused_attention(q, k, v, bias)
+    return _xla_attention(q, k, v, bias)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, S, D] -> [B, H, S, D/H] (reference transpose_for_scores)."""
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, S, Dh] -> [B, S, H*Dh]."""
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def extended_attention_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, Sk] 0/1 key-validity mask -> additive [B, 1, 1, Sk] bias.
+
+    Matches HF get_extended_attention_mask semantics used throughout the
+    reference (m3ae_module.py:232): (1 - mask) * -10000.0.
+    """
+    m = mask.astype(dtype)
+    return ((1.0 - m) * -10000.0)[:, None, None, :]
+
+
+def causal_bias(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """[1, 1, S, S] additive causal mask (0 on/below diagonal, -inf above)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    mask = (j <= i).astype(dtype)
+    return ((1.0 - mask) * _NEG_INF)[None, None, :, :]
