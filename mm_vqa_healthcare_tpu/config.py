@@ -304,6 +304,21 @@ def _text_roberta_large():
     return dict(tokenizer="roberta-large", vocab_size=50265, input_text_embed_size=1024)
 
 
+# Debug scale (TPU-native addition: tests + multichip dry-runs; not in
+# the reference)
+@_named("tiny_debug")
+def _tiny_debug():
+    return dict(
+        vit="ViT-Tiny/16", image_size=32, patch_size=16,
+        tokenizer="tiny-bert", vocab_size=200,
+        hidden_size=64, num_heads=2, num_top_layer=2,
+        input_image_embed_size=64, input_text_embed_size=64,
+        max_text_len=16, mim_decoder_hidden_size=32,
+        mim_decoder_num_heads=2, mim_decoder_num_layers=1,
+        num_workers=0, batch_size=4, per_gpu_batchsize=4,
+    )
+
+
 # Random-augmentation presets
 @_named("imagenet_randaug")
 def _imagenet_randaug():

@@ -200,12 +200,12 @@ class VQADataset(BaseDataset):
     def __getitem__(self, index: int) -> dict:
         image_tensor = self.get_image(index)["image"]
         text = self.get_text(index)["text"]
-        qindex, _ = self.index_mapper[index]
-        answers = self.table["answers"][qindex].as_py()
-        labels = self.table["answer_labels"][qindex].as_py()
-        scores = self.table["answer_scores"][qindex].as_py()
-        answer_types = self.table["answer_type"][qindex].as_py()
-        qid = self.table["question_id"][qindex].as_py()
+        row, q_idx = self.index_mapper[index]
+        answers = self.table["answers"][row][q_idx].as_py()
+        labels = self.table["answer_labels"][row][q_idx].as_py()
+        scores = self.table["answer_scores"][row][q_idx].as_py()
+        answer_types = self.table["answer_type"][row][q_idx].as_py()
+        qid = self.table["question_id"][row][q_idx].as_py()
         return {
             "image": image_tensor,
             "text": text,

@@ -56,11 +56,16 @@ class MTDataModule:
     """Multi-task data module composed from config (reference
     multitask_datamodule.py:11-83)."""
 
-    def __init__(self, config: Dict, dist: bool = False):
+    def __init__(self, config: Dict, dist: bool = False,
+                 device_count: int = 1):
         self.config = config
         self.dist = dist
+        # Global per-step batch = per-device batch x local data-parallel
+        # devices (the reference's per_gpu_batchsize is per-GPU; DDP runs
+        # one process per GPU — here one SPMD program spans all chips).
+        per_dev = config["per_gpu_batchsize"] or config["batch_size"]
         self.dataset_keys = config["datasets"]
-        self.batch_size = config["per_gpu_batchsize"] or config["batch_size"]
+        self.batch_size = per_dev * device_count
         self.eval_batch_size = self.batch_size
         self.tokenizer = load_tokenizer(config["tokenizer"],
                                         config.get("tokenizer_path", ""))

@@ -64,6 +64,10 @@ TEXT_ENCODER_PRESETS = {
         vocab_size=50265, hidden_size=1024, num_layers=24, num_heads=16,
         intermediate_size=4096, max_position_embeddings=514,
         type_vocab_size=1, pad_token_id=1, is_roberta=True),
+    # Debug-scale tower for tests / multichip dry-runs (not in reference).
+    "tiny-bert": TextEncoderConfig(
+        vocab_size=200, hidden_size=64, num_layers=2, num_heads=2,
+        intermediate_size=128, max_position_embeddings=64),
 }
 
 

@@ -54,6 +54,8 @@ CLIP_VIT_PRESETS = {
     "ViT-B/16": dict(width=768, layers=12, heads=12, patch_size=16),
     "ViT-L/14": dict(width=1024, layers=24, heads=16, patch_size=14),
     "ViT-L/14@336px": dict(width=1024, layers=24, heads=16, patch_size=14),
+    # Debug-scale tower for tests / multichip dry-runs (not in reference).
+    "ViT-Tiny/16": dict(width=64, layers=3, heads=2, patch_size=16),
 }
 
 

@@ -1,0 +1,203 @@
+"""Optimizer and LR schedules (reference m3ae/modules/m3ae_utils.py:112-242
+`set_schedule` and m3ae_t5_utils.py:290-375 `set_schedule_decoder`).
+
+Reproduces the reference's 6-way param grouping EXACTLY by labeling each
+flax leaf with its *torch* parameter name (obtained from the checkpoint
+converter's rule table) and applying the reference's substring tests
+verbatim:
+
+  no_decay     : "bias", "LayerNorm.bias", "LayerNorm.weight", "norm.bias",
+                 "norm.weight", "norm1.*", "norm2.*"   (m3ae_utils.py:121-131)
+  head_names   : mlm_head, mim_head, itm_head, vqa_head, cls_head, irtr_head
+  multi_modal  : any name containing "multi_modal"
+
+  group                     weight_decay   lr
+  base                      wd             lr
+  base/no-decay             0              lr
+  head                      wd             lr * lr_multiplier_head
+  head/no-decay             0              lr * lr_multiplier_head
+  multi_modal               wd             lr * lr_multiplier_multi_modal
+  multi_modal/no-decay      0              lr * lr_multiplier_multi_modal
+
+Optimizer: AdamW(eps=1e-8, betas=(0.9, 0.98)) / Adam / SGD(momentum 0.9);
+schedule: polynomial-decay-with-warmup (HF semantics) or cosine; fractional
+warmup_steps = ratio of max_steps (m3ae_utils.py:222-224); gradient
+accumulation via optax.MultiSteps (reference main.py:50 grad_steps).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NO_DECAY_PATTERNS = ("bias", "LayerNorm.bias", "LayerNorm.weight",
+                     "norm.bias", "norm.weight", "norm1.bias", "norm1.weight",
+                     "norm2.bias", "norm2.weight")
+HEAD_NAMES = ("mlm_head", "mim_head", "itm_head", "vqa_head", "cls_head",
+              "irtr_head")
+MULTI_MODAL_NAMES = ("multi_modal",)
+
+
+def torch_name_map(params, model_cfg) -> Dict[tuple, str]:
+    """flax leaf path -> reference torch param name, via converter rules."""
+    from mm_vqa_healthcare_tpu.checkpoint.convert import build_rules, flatten
+    rules = build_rules(model_cfg)
+    by_path = {("params",) + fp: tk for tk, fp, _ in rules}
+    flat = flatten(params)
+    out = {}
+    for path in flat:
+        if path in by_path:
+            out[path] = by_path[path]
+        else:
+            out[path] = ".".join(str(p) for p in path[1:])
+    return out
+
+
+def group_label(torch_name: str) -> str:
+    nd = any(p in torch_name for p in NO_DECAY_PATTERNS)
+    head = any(p in torch_name for p in HEAD_NAMES)
+    mm = any(p in torch_name for p in MULTI_MODAL_NAMES)
+    if head and not mm:
+        return "head_nd" if nd else "head"
+    if mm and not head:
+        return "mm_nd" if nd else "mm"
+    if mm and head:
+        # reference's filters exclude params that are both; none exist in
+        # practice — treat as head (first matching group)
+        return "head_nd" if nd else "head"
+    return "base_nd" if nd else "base"
+
+
+def label_params(params, model_cfg):
+    """Pytree of group labels matching the params structure."""
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+    names = torch_name_map(params, model_cfg)
+    flat = flatten(params)
+    labels = {p: group_label(names[p]) for p in flat}
+    return unflatten(labels)
+
+
+def warmup_polynomial_schedule(lr: float, warmup_steps: int, total_steps: int,
+                               end_lr: float = 0.0, power: float = 1.0):
+    """HF get_polynomial_decay_schedule_with_warmup semantics."""
+    total_steps = max(total_steps, 1)
+    warmup_steps = max(warmup_steps, 0)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(1.0, warmup_steps)
+        remaining = jnp.maximum(
+            0.0, 1.0 - (step - warmup_steps) / jnp.maximum(
+                1.0, total_steps - warmup_steps))
+        decay = (lr - end_lr) * remaining ** power + end_lr
+        return jnp.where(step < warmup_steps, warm, decay)
+    return fn
+
+
+def warmup_cosine_schedule(lr: float, warmup_steps: int, total_steps: int,
+                           num_cycles: float = 0.5):
+    """HF get_cosine_schedule_with_warmup semantics."""
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(
+            1.0, total_steps - warmup_steps)
+        cos = jnp.maximum(
+            0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * progress)))
+        return jnp.where(step < warmup_steps, warm, lr * cos)
+    return fn
+
+
+def resolve_steps(config: Dict[str, Any],
+                  steps_per_epoch: Optional[int] = None):
+    """(max_steps, warmup_steps) with fractional-warmup resolution."""
+    max_steps = config["max_steps"]
+    if max_steps is None or max_steps == -1:
+        if steps_per_epoch is None:
+            raise ValueError("max_steps=-1 needs steps_per_epoch")
+        max_steps = steps_per_epoch * config["max_epoch"]
+    warmup = config["warmup_steps"]
+    if isinstance(warmup, float):
+        warmup = int(max_steps * warmup)
+    return int(max_steps), int(warmup)
+
+
+def _single_group(optim_type: str, schedule, weight_decay: float):
+    if optim_type == "adamw":
+        return optax.adamw(learning_rate=schedule, b1=0.9, b2=0.98,
+                           eps=1e-8, weight_decay=weight_decay)
+    if optim_type == "adam":
+        return optax.adam(learning_rate=schedule)
+    if optim_type == "sgd":
+        return optax.sgd(learning_rate=schedule, momentum=0.9)
+    raise ValueError(optim_type)
+
+
+def build_optimizer(config: Dict[str, Any], params, model_cfg,
+                    steps_per_epoch: Optional[int] = None,
+                    grad_accum_steps: int = 1):
+    """The full reference optimizer: 6 groups x schedule x grad-accum."""
+    lr = config["learning_rate"]
+    wd = config["weight_decay"]
+    mult_head = config["lr_multiplier_head"]
+    mult_mm = config["lr_multiplier_multi_modal"]
+    max_steps, warmup = resolve_steps(config, steps_per_epoch)
+    decay_power = config["decay_power"]
+    end_lr = config["end_lr"]
+    optim_type = config["optim_type"]
+
+    def make_sched(group_lr):
+        if decay_power == "cosine":
+            return warmup_cosine_schedule(group_lr, warmup, max_steps)
+        return warmup_polynomial_schedule(group_lr, warmup, max_steps,
+                                          end_lr, float(decay_power))
+
+    groups = {
+        "base": _single_group(optim_type, make_sched(lr), wd),
+        "base_nd": _single_group(optim_type, make_sched(lr), 0.0),
+        "head": _single_group(optim_type, make_sched(lr * mult_head), wd),
+        "head_nd": _single_group(optim_type, make_sched(lr * mult_head), 0.0),
+        "mm": _single_group(optim_type, make_sched(lr * mult_mm), wd),
+        "mm_nd": _single_group(optim_type, make_sched(lr * mult_mm), 0.0),
+    }
+    labels = label_params(params, model_cfg)
+    tx = optax.multi_transform(groups, labels)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx, make_sched(lr)
+
+
+def build_single_lr_optimizer(config: Dict[str, Any], params,
+                              steps_per_epoch: Optional[int] = None,
+                              grad_accum_steps: int = 1,
+                              learning_rate: Optional[float] = None):
+    """Decoder/T5-head optimizer (reference m3ae_t5_utils.set_schedule_decoder
+    :290-375): single LR, two groups (decay / no-decay by torch name)."""
+    lr = learning_rate if learning_rate is not None else config["learning_rate"]
+    wd = config["weight_decay"]
+    max_steps, warmup = resolve_steps(config, steps_per_epoch)
+    sched = warmup_polynomial_schedule(lr, warmup, max_steps,
+                                       config["end_lr"],
+                                       float(config["decay_power"])
+                                       if config["decay_power"] != "cosine" else 1.0)
+
+    def is_nd(path):
+        name = ".".join(str(p) for p in path)
+        return ("bias" in name or "LayerNorm" in name or "norm" in name
+                or name.endswith("scale"))
+
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+    flat = flatten(params)
+    labels = unflatten({p: ("nd" if is_nd(p) else "decay") for p in flat})
+    tx = optax.multi_transform(
+        {"decay": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
+                              weight_decay=wd),
+         "nd": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
+                           weight_decay=0.0)},
+        labels)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx, sched

@@ -1,0 +1,307 @@
+"""Training/eval driver for the M3AE classifier + pretraining paths.
+
+Replaces the reference's PL Trainer wiring (main.py:17-82): grad-accum
+computation `batch_size // (per_gpu_batchsize * num_devices)` (main.py:50),
+best-checkpoint on val VQA score (ModelCheckpoint monitor val/the_metric,
+max), deterministic seeding, fit -> test(best) or test-only.
+
+TPU-native execution model: ONE jitted SPMD train step over a device mesh —
+params replicated, batch sharded on the data axis, gradient mean inserted
+by XLA from the sharding annotations; optax.MultiSteps for accumulation.
+Host work per step is limited to collation + metric-sum accumulation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_vqa_healthcare_tpu.checkpoint import io as ckpt_io
+from mm_vqa_healthcare_tpu.checkpoint.convert import load_reference_checkpoint
+from mm_vqa_healthcare_tpu.data.datamodule import MTDataModule
+from mm_vqa_healthcare_tpu.data.transforms import key_to_transform
+from mm_vqa_healthcare_tpu.models.m3ae import M3AE, M3AEConfig
+from mm_vqa_healthcare_tpu.parallel import mesh as mesh_lib
+from mm_vqa_healthcare_tpu.train import objectives
+from mm_vqa_healthcare_tpu.train.optim import build_optimizer
+from mm_vqa_healthcare_tpu.utils.logging import MetricLogger
+from mm_vqa_healthcare_tpu.utils.text_metrics import TextMetrics
+
+
+def prepare_vqa_arrays(batch: Dict[str, Any], label_size: int) -> Dict[str, np.ndarray]:
+    """Host-side: densify vqa_labels/scores into [B, label_size] soft targets
+    (reference objectives.py:188-197) + answer types + validity mask."""
+    out = {}
+    if "vqa_labels" in batch:
+        b = len(batch["vqa_labels"])
+        targets = np.zeros((b, label_size), np.float32)
+        for i, (labels, scores) in enumerate(
+                zip(batch["vqa_labels"], batch["vqa_scores"])):
+            for l, s in zip(labels, scores):
+                targets[i, l] = s
+        out["vqa_targets"] = targets
+        out["answer_types"] = np.asarray(batch["answer_types"], np.int32)
+    real = batch.get("_real_count")
+    if real is not None:
+        b = len(batch.get("vqa_labels", batch.get("text", []))) or None
+        if b:
+            valid = np.zeros(b, np.float32)
+            valid[:real] = 1.0
+            out["sample_valid"] = valid
+    return out
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.model_cfg = M3AEConfig.from_dict(config)
+        self.model = M3AE(self.model_cfg)
+        self.mesh = mesh_lib.make_mesh(config.get("mesh_shape"))
+        self.num_devices = int(np.prod([s for s in self.mesh.devices.shape]))
+        self.logger = MetricLogger(config.get("log_dir", "result"),
+                                   config.get("exp_name", "exp"))
+        self.seed = config["seed"]
+        self.rng = jax.random.key(self.seed)
+        self.label2ans = self._load_label2ans()
+        self.dm: Optional[MTDataModule] = None
+        self.params = None
+        self.opt_state = None
+        self._jitted: Dict[str, Any] = {}
+        self.global_step = 0
+        # normalize constants for device-side transforms
+        tkey = config["val_transform_keys"][0]
+        tr = key_to_transform(tkey.replace("_randaug", "").replace("_resizedcrop", ""),
+                              config["image_size"])
+        self.image_mean = np.asarray(tr.mean, np.float32)
+        self.image_std = np.asarray(tr.std, np.float32)
+
+    # ------------------------------------------------------------------ setup
+    def _load_label2ans(self):
+        for root in (self.config.get("data_root", ""), "."):
+            path = os.path.join(root, "label2ans.json") if root else "label2ans.json"
+            if os.path.isfile(path):
+                with open(path) as f:
+                    return json.load(f)
+        return None
+
+    def setup_data(self):
+        if self.dm is None:
+            data_devices = self.mesh.devices.shape[0]
+            self.dm = MTDataModule(self.config,
+                                   dist=jax.process_count() > 1,
+                                   device_count=data_devices)
+            self.dm.setup()
+        return self.dm
+
+    def init_params(self):
+        cfg = self.config
+        shape = (1, cfg["image_size"], cfg["image_size"], 3)
+        batch = {
+            "text_ids": jnp.ones((1, cfg["max_text_len"]), jnp.int32),
+            "text_masks": jnp.ones((1, cfg["max_text_len"]), jnp.int32),
+            "image": jnp.zeros(shape, jnp.float32),
+        }
+        init_rngs = {"params": jax.random.key(self.seed),
+                     "mim": jax.random.key(self.seed + 1)}
+        with jax.default_device(jax.devices()[0]):
+            params = jax.jit(self.model.init)(init_rngs, batch)
+        if cfg.get("load_path"):
+            params, loaded, missing = load_reference_checkpoint(
+                cfg["load_path"], self.model_cfg, params)
+            print(f"Loaded {len(loaded)} tensors from {cfg['load_path']} "
+                  f"({len(missing)} not in ckpt)")
+        self.params = jax.device_put(params, mesh_lib.replicated(self.mesh))
+        return self.params
+
+    def setup_optimizer(self, steps_per_epoch: Optional[int] = None):
+        cfg = self.config
+        per_dev = (cfg["per_gpu_batchsize"] or cfg["batch_size"])
+        data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
+        grad_steps = max(1, cfg["batch_size"] // (per_dev * data_devices))
+        self.grad_accum_steps = grad_steps
+        self.tx, self.lr_fn = build_optimizer(
+            cfg, self.params, self.model_cfg,
+            steps_per_epoch=steps_per_epoch, grad_accum_steps=grad_steps)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
+
+    # ------------------------------------------------------------ jitted steps
+    def _device_prepare(self, batch):
+        """In-jit uint8 -> normalized float (device-side transform tail)."""
+        mean = jnp.asarray(self.image_mean)
+        std = jnp.asarray(self.image_std)
+        out = dict(batch)
+        for key in list(out):
+            if "image" in key and out[key].dtype == jnp.uint8:
+                x = out[key].astype(jnp.float32) / 255.0
+                out[key] = (x - mean) / std
+        return out
+
+    def _train_step_fn(self, params, opt_state, batch, rng):
+        import optax
+        batch = self._device_prepare(batch)
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "mim": jax.random.fold_in(rng, 1),
+                "itm": jax.random.fold_in(rng, 2)}
+
+        def loss_fn(p):
+            return objectives.compute_total_loss(
+                self.model, p, batch, rngs, self.config["loss_names"],
+                train=True)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux = {k: v for k, v in aux.items()
+               if not isinstance(v, jax.Array) or v.ndim == 0}
+        aux["loss"] = loss
+        return params, opt_state, aux
+
+    def _eval_step_fn(self, params, batch):
+        batch = self._device_prepare(batch)
+        loss, aux = objectives.compute_total_loss(
+            self.model, params, batch, rngs={"itm": jax.random.key(0)},
+            loss_names=self.config["loss_names"], train=False)
+        aux["loss"] = loss
+        return aux
+
+    def _get_jitted(self, name):
+        if name in self._jitted:
+            return self._jitted[name]
+        rep = mesh_lib.replicated(self.mesh)
+        data = mesh_lib.batch_sharding(self.mesh)
+        if name == "train":
+            fn = jax.jit(
+                self._train_step_fn,
+                in_shardings=(rep, rep, data, rep),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=(0, 1))
+        elif name == "eval":
+            fn = jax.jit(self._eval_step_fn,
+                         in_shardings=(rep, data), out_shardings=rep)
+        self._jitted[name] = fn
+        return fn
+
+    # ------------------------------------------------------------------ loops
+    def _device_batch(self, batch):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object}
+        arrays.update(prepare_vqa_arrays(
+            batch, self.config["vqa_label_size"]))
+        return mesh_lib.shard_batch(self.mesh, arrays)
+
+    def fit(self):
+        cfg = self.config
+        dm = self.setup_data()
+        steps_per_epoch = max(
+            1, len(dm.dataset("train")) // (dm.batch_size))
+        if self.params is None:
+            self.init_params()
+        if self.opt_state is None:
+            self.setup_optimizer(steps_per_epoch)
+        max_steps, _ = _resolved_steps(cfg, steps_per_epoch,
+                                       self.grad_accum_steps)
+        train_step = self._get_jitted("train")
+        best_metric, best_path = -float("inf"), None
+        micro_steps_total = max_steps * self.grad_accum_steps
+        micro_step = 0
+        epoch = 0
+        t0 = time.time()
+        while micro_step < micro_steps_total and epoch < cfg["max_epoch"]:
+            for batch in dm.train_loader(epoch):
+                dev_batch = self._device_batch(batch)
+                rng = jax.random.fold_in(self.rng, micro_step)
+                self.params, self.opt_state, aux = train_step(
+                    self.params, self.opt_state, dev_batch, rng)
+                micro_step += 1
+                self.global_step = micro_step // self.grad_accum_steps
+                if micro_step % (cfg.get("log_every_n_steps", 10)
+                                 * self.grad_accum_steps) == 0:
+                    aux_host = jax.device_get(aux)
+                    sps = (micro_step * dm.batch_size) / (time.time() - t0)
+                    self.logger.log_step("train", self.global_step, {
+                        "loss": float(aux_host["loss"]),
+                        "samples_per_sec": sps,
+                        "lr": float(self.lr_fn(self.global_step)),
+                    })
+                if micro_step >= micro_steps_total:
+                    break
+            epoch += 1
+            if not cfg.get("fast_dev_run"):
+                val_metrics = self.evaluate("val")
+                the_metric = val_metrics.get("vqa/score", 0.0)
+                self.logger.log_step("val", self.global_step, val_metrics)
+                if the_metric > best_metric:
+                    best_metric = the_metric
+                    best_path = os.path.join(
+                        cfg.get("default_root_dir", "checkpoints"),
+                        f"{cfg['exp_name']}_best.msgpack")
+                    ckpt_io.save_native(best_path, self.params, cfg,
+                                        {"step": self.global_step,
+                                         "val_metric": the_metric})
+            if cfg.get("fast_dev_run"):
+                break
+        # load best before test (reference trainer.test(ckpt_path="best"))
+        if best_path and os.path.isfile(best_path):
+            self.params = ckpt_io.load_native(best_path, self.params)
+        return self.test()
+
+    def evaluate(self, split: str) -> Dict[str, float]:
+        dm = self.setup_data()
+        loader = dm.val_loader() if split == "val" else dm.test_loader()
+        eval_step = self._get_jitted("eval")
+        sums: Dict[str, float] = {}
+        text_metrics = TextMetrics(tokenizer=dm.tokenizer,
+                                   bug_compat=self.config.get("bug_compat", True))
+        for batch in loader:
+            dev_batch = self._device_batch(batch)
+            aux = jax.device_get(eval_step(self.params, dev_batch))
+            for k, v in aux.items():
+                if np.ndim(v) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            if "vqa_preds" in aux and self.label2ans is not None:
+                real = batch.get("_real_count", len(aux["vqa_preds"]))
+                preds = aux["vqa_preds"][:real]
+                answers = [self.label2ans[str(int(p))] for p in preds]
+                truths = [a for l in batch["vqa_answer"][:real] for a in l]
+                text_metrics.update(answers, truths)
+                if split == "test":
+                    print(f"model output: {answers},\n labels: {truths}")
+        metrics: Dict[str, float] = {}
+        if "vqa_total" in sums and sums["vqa_total"] > 0:
+            n = sums["vqa_total"]
+            metrics["vqa/score"] = sums["vqa_score_sum"] / n
+            if sums.get("vqa_close_total", 0) > 0:
+                metrics["vqa/close_score"] = (
+                    sums["vqa_close_score_sum"] / sums["vqa_close_total"])
+            if sums.get("vqa_open_total", 0) > 0:
+                metrics["vqa/open_score"] = (
+                    sums["vqa_open_score_sum"] / sums["vqa_open_total"])
+        if "mlm_total" in sums and sums["mlm_total"] > 0:
+            metrics["mlm/accuracy"] = sums["mlm_correct"] / sums["mlm_total"]
+        if "itm_total" in sums and sums["itm_total"] > 0:
+            metrics["itm/accuracy"] = sums["itm_correct"] / sums["itm_total"]
+        if "mim_loss_sum" in sums:
+            metrics["mim/loss"] = sums["mim_loss_sum"]
+        for k, v in text_metrics.compute().items():
+            metrics[f"{split}/{k}"] = v
+        return metrics
+
+    def test(self) -> Dict[str, float]:
+        metrics = self.evaluate("test")
+        self.logger.log_step("test", self.global_step, metrics)
+        print("TEST METRICS:", json.dumps(metrics, indent=2, sort_keys=True))
+        return metrics
+
+
+def _resolved_steps(cfg, steps_per_epoch, grad_accum):
+    max_steps = cfg["max_steps"]
+    if max_steps is None or max_steps == -1:
+        max_steps = steps_per_epoch * cfg["max_epoch"] // max(1, grad_accum)
+    return int(max_steps), steps_per_epoch

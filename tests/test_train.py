@@ -1,0 +1,64 @@
+"""End-to-end training tests at debug scale on the CPU backend (8 virtual
+devices): classifier fine-tune slice, optimizer grouping parity, eval."""
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def vqa_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_fixture")
+    return fixtures.make_vqa_fixture(str(root))
+
+
+def test_optimizer_group_labels():
+    """Reference set_schedule grouping (m3ae_utils.py:121-201): heads x100,
+    multi_modal x5, biases/LN no-decay — and the quirk that CLIP ln_1/ln_2
+    *weights* are NOT in the no-decay list (only their biases, via 'bias')."""
+    from mm_vqa_healthcare_tpu.train.optim import group_label
+    assert group_label("vqa_head.0.weight") == "head"
+    assert group_label("vqa_head.0.bias") == "head_nd"
+    assert group_label("multi_modal_language_layers.0.attention.self.query.weight") == "mm"
+    assert group_label("multi_modal_language_proj.bias") == "mm_nd"
+    assert group_label("language_encoder.encoder.layer.0.attention.output.LayerNorm.weight") == "base_nd"
+    assert group_label("language_encoder.encoder.layer.0.attention.self.query.weight") == "base"
+    # CLIP block LN weight: torch name ln_1.weight matches no no_decay pattern
+    assert group_label("vision_encoder.visual.transformer.resblocks.0.ln_1.weight") == "base"
+    assert group_label("vision_encoder.visual.transformer.resblocks.0.ln_1.bias") == "base_nd"
+    assert group_label("mim_head.decoder_norm.weight") == "head_nd"  # "norm.weight"
+
+
+def test_finetune_classifier_tiny(vqa_data):
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, label2ans, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, max_steps=2,
+                               batch_size=4, per_gpu_batchsize=4)
+    t = Trainer(cfg)
+    metrics = t.fit()
+    assert "vqa/score" in metrics
+    assert 0.0 <= metrics["vqa/score"] <= 1.0
+    assert "test/exact_match" in metrics
+    assert np.isfinite(metrics["vqa/score"])
+
+
+def test_test_only_eval(vqa_data):
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, label2ans, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, test_only=True)
+    t = Trainer(cfg)
+    t.setup_data()
+    t.init_params()
+    metrics = t.test()
+    assert "vqa/score" in metrics
+    assert "test/rouge1" in metrics
+
+
+def test_grad_accumulation_math():
+    """grad_steps = batch_size // (per_gpu_batchsize * num_devices)
+    (reference main.py:50)."""
+    from tests import fixtures as fx
+    # covered implicitly in Trainer.setup_optimizer; check the arithmetic
+    batch_size, per_dev, n_dev = 64, 4, 8
+    assert batch_size // (per_dev * n_dev) == 2
