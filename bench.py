@@ -1,0 +1,121 @@
+"""Benchmark: VQA-RAD classifier fine-tune samples/sec/chip (the
+BASELINE.json headline metric).
+
+Runs the flagship training step — M3AE ViT-B/16 @ 384, BERT-base text tower
+(text len 32), 6x2 co-attention fusion, VQA classifier head, full
+fwd+bwd+6-group-AdamW — on synthetic data at steady state and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator is an engineering estimate of the reference stack on its
+1xA6000 environment for this exact workload (~400 GFLOPs/sample fwd+bwd,
+A6000 fp16 ~155 TFLOPs peak at ~15-20% eager-torch MFU -> ~60 samples/s).
+Override with env A6000_BASELINE_SPS.
+
+Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
+(bfloat16|float32, default bfloat16), BENCH_STEPS (default 10),
+BENCH_MODE (train|eval, default train).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch_size: int, dtype: str, mode: str):
+    from mm_vqa_healthcare_tpu.config import compose
+    from mm_vqa_healthcare_tpu.parallel import mesh as mesh_lib
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+
+    label_size = 498
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+        "image_size": 384,
+        "per_gpu_batchsize": batch_size,
+        "batch_size": batch_size * jax.device_count(),
+        "compute_dtype": dtype,
+        "max_steps": 1000,
+        "warmup_steps": 0,
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
+        "drop_rate": float(os.environ.get("BENCH_DROP", "0.1")),
+    })
+    trainer = Trainer(cfg)
+    trainer.init_params()
+    trainer.setup_optimizer(steps_per_epoch=100)
+
+    n = trainer.mesh.devices.shape[0]
+    b = batch_size * n
+    s = cfg["max_text_len"]
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(b, 384, 384, 3)).astype(np.float32),
+        "text_ids": rng.integers(0, 30522, (b, s)).astype(np.int32),
+        "text_masks": np.ones((b, s), np.int32),
+        "text_labels": np.full((b, s), -100, np.int32),
+        "vqa_targets": np.eye(label_size, dtype=np.float32)[
+            rng.integers(0, label_size, b)],
+        "answer_types": rng.integers(0, 2, b).astype(np.int32),
+        "sample_valid": np.ones(b, np.float32),
+    }
+    from mm_vqa_healthcare_tpu.parallel.mesh import shard_batch
+    dev_batch = shard_batch(trainer.mesh, batch)
+    step = trainer._get_jitted("train" if mode == "train" else "eval")
+    return trainer, step, dev_batch, b
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    mode = os.environ.get("BENCH_MODE", "train")
+
+    trainer, step, dev_batch, global_batch = build(batch_size, dtype, mode)
+    rng = jax.random.key(0)
+
+    def run_one(i):
+        nonlocal_state = {}
+        if mode == "train":
+            p, o, aux = step(trainer.params, trainer.opt_state, dev_batch,
+                             jax.random.fold_in(rng, i))
+            trainer.params, trainer.opt_state = p, o
+            return aux["loss"]
+        return step(trainer.params, dev_batch)["loss"]
+
+    # compile + warmup
+    run_one(0).block_until_ready()
+    run_one(1).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        loss = run_one(i + 2)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    sps = global_batch * steps / dt
+    sps_chip = sps / jax.device_count()
+    baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
+    print(json.dumps({
+        "metric": f"vqa_rad_finetune_{mode}_samples_per_sec_per_chip",
+        "value": round(sps_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps_chip / baseline, 3),
+        "detail": {
+            "global_samples_per_sec": round(sps, 2),
+            "devices": jax.device_count(),
+            "per_chip_batch": batch_size,
+            "dtype": dtype,
+            "image_size": 384,
+            "step_time_ms": round(1000 * dt / steps, 2),
+            "baseline_note": f"A6000 torch-eager estimate {baseline} samples/s",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

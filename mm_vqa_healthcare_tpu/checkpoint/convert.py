@@ -176,6 +176,63 @@ def build_rules(cfg) -> list:
     return rules
 
 
+def build_decoder_head_rules(num_layers: int = 6) -> list:
+    """Rules for the generative decoder head's own state_dict
+    (reference Decoder, m3ae_decoder.py:93-138; loaded standalone from
+    decoder_load_path's 'model_state_dict', m3ae_decoder.py:207-211)."""
+    rules = [
+        ("target_embedding.weight", ("target_embedding", "embedding"), "direct"),
+        *_linear("final_linear", ("final_linear",)),
+    ]
+    for i in range(num_layers):
+        tp = f"dec_layers.{i}"
+        fp = (f"dec_layers_{i}",)
+        rules += [
+            (f"{tp}.mha1.in_proj_weight", fp + ("mha1", "in_proj_kernel"), "packed"),
+            (f"{tp}.mha1.in_proj_bias", fp + ("mha1", "in_proj_bias"), "direct"),
+            *_linear(f"{tp}.mha1.out_proj", fp + ("mha1", "out_proj")),
+            (f"{tp}.mha2.in_proj_weight", fp + ("mha2", "in_proj_kernel"), "packed"),
+            (f"{tp}.mha2.in_proj_bias", fp + ("mha2", "in_proj_bias"), "direct"),
+            *_linear(f"{tp}.mha2.out_proj", fp + ("mha2", "out_proj")),
+            *_linear(f"{tp}.ffn.0", fp + ("ffn1",)),
+            *_linear(f"{tp}.ffn.2", fp + ("ffn2",)),
+            *_ln(f"{tp}.pre_norm", fp + ("pre_norm",)),
+            *_ln(f"{tp}.layernorm1", fp + ("layernorm1",)),
+            *_ln(f"{tp}.layernorm2", fp + ("layernorm2",)),
+            *_ln(f"{tp}.layernorm3", fp + ("layernorm3",)),
+        ]
+    return rules
+
+
+def build_decoder_model_rules(dec_cfg) -> list:
+    """Rules for a full DecoderVQAModel tree (PL checkpoints of the
+    reference DecoderModel save 'm3ae.*' + 'decoder.*' keys)."""
+    rules = [("m3ae." + tk, ("m3ae",) + fp, tr)
+             for tk, fp, tr in build_rules(dec_cfg.m3ae)]
+    rules += [("decoder." + tk, ("decoder",) + fp, tr)
+              for tk, fp, tr in build_decoder_head_rules(
+                  dec_cfg.decoder.num_layers)]
+    return rules
+
+
+def load_decoder_head_checkpoint(path: str, init_params, num_layers: int = 6):
+    """Load a standalone decoder ckpt (decoder_load_path semantics) into the
+    'decoder' subtree of DecoderVQAModel params."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    flat = flatten({"params": init_params["params"]})
+    loaded = []
+    for tk, fp, tr in build_decoder_head_rules(num_layers):
+        if tk in sd:
+            flat[("params", "decoder") + fp] = _to_flax(
+                np.asarray(sd[tk]), tr, None).astype(np.float32)
+            loaded.append(tk)
+    return unflatten(flat), loaded
+
+
 def _to_flax(value: np.ndarray, transform: str, cfg) -> np.ndarray:
     if transform == "direct":
         return value

@@ -1,0 +1,68 @@
+"""Greedy decoding (reference Decoder.search_path, m3ae_decoder.py:141-182).
+
+Token-for-token semantics of the reference loop, executed as a KV-cached
+``lax.while_loop`` under jit (the reference re-forwards the whole prefix
+every step — O(T^2); with deterministic eval + causal masking the cached
+incremental decode produces identical argmax tokens in O(T)):
+
+  * start token [CLS]; per step: argmax of log-softmax over the last
+    position's logits,
+  * a sequence is finished once it emits [SEP] (or the tokenizer's EOS if
+    one exists); the loop stops when all are finished or max_len reached,
+  * post-pass: everything strictly after the FIRST terminator becomes
+    [PAD]; output is [B, max_len] (the leading CLS is dropped).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mm_vqa_healthcare_tpu.models.decoder import Decoder
+
+
+def greedy_search(decoder: Decoder, params, enc_feats: jax.Array,
+                  cls_id: int, sep_id: int, pad_id: int,
+                  eos_id: Optional[int] = None) -> jax.Array:
+    cfg = decoder.cfg
+    b = enc_feats.shape[0]
+    max_len = cfg.max_len
+    tokens0 = jnp.full((b, max_len + 1), pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(cls_id)
+    cache0 = decoder.apply(params, b, enc_feats.dtype,
+                           method=Decoder.init_cache)
+    finished0 = jnp.zeros((b,), jnp.bool_)
+
+    def cond(carry):
+        _, finished, t, _ = carry
+        return jnp.logical_and(t < max_len, ~jnp.all(finished))
+
+    def body(carry):
+        tokens, finished, t, cache = carry
+        current = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+        logits, cache = decoder.apply(
+            params, current, t, enc_feats, cache,
+            method=Decoder.decode_step)
+        nxt = jnp.argmax(jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1), axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
+        term = nxt == sep_id
+        if eos_id is not None:
+            term = term | (nxt == eos_id)
+        finished = finished | term
+        return tokens, finished, t + 1, cache
+
+    tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (tokens0, finished0, jnp.asarray(0, jnp.int32), cache0))
+
+    out = tokens[:, 1:]                      # drop the CLS start token
+    term = out == sep_id
+    if eos_id is not None:
+        term = term | (out == eos_id)
+    seen_before = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.cumsum(term.astype(jnp.int32), axis=1)[:, :-1]], axis=1)
+    out = jnp.where(seen_before > 0, pad_id, out)
+    return out

@@ -75,7 +75,9 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
-                 bias: Optional[jax.Array] = None) -> jax.Array:
+                 bias: Optional[jax.Array] = None,
+                 cache: Optional[dict] = None,
+                 cache_index: Optional[jax.Array] = None):
         d = query.shape[-1]
         in_proj_w = self.param("in_proj_kernel", nn.initializers.normal(0.02),
                                (d, 3 * d), jnp.float32)
@@ -87,6 +89,18 @@ class MultiHeadAttention(nn.Module):
         q = split_heads(jnp.dot(query, wq) + bq, self.num_heads)
         k = split_heads(jnp.dot(key, wk) + bk, self.num_heads)
         v = split_heads(jnp.dot(value, wv) + bv, self.num_heads)
+        if cache is not None:
+            # Incremental decode: q is one position; k/v update a fixed-size
+            # cache at cache_index and attend over positions <= cache_index.
+            k = jax.lax.dynamic_update_slice(cache["k"], k,
+                                             (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v,
+                                             (0, 0, cache_index, 0))
+            length = k.shape[2]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, length), 3)
+            step_bias = jnp.where(pos <= cache_index, 0.0, -1e30)
+            ctx = dot_product_attention(q, k, v, step_bias, impl="xla")
+            out = Dense(d, name="out_proj")(merge_heads(ctx))
+            return out, {"k": k, "v": v}
         ctx = dot_product_attention(q, k, v, bias, impl=self.attention_impl)
-        out = merge_heads(ctx)
-        return Dense(d, name="out_proj")(out)
+        return Dense(d, name="out_proj")(merge_heads(ctx))
