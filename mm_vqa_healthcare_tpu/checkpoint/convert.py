@@ -204,6 +204,72 @@ def build_decoder_head_rules(num_layers: int = 6) -> list:
     return rules
 
 
+def build_t5_rules(num_layers: int = 6, num_decoder_layers: int = 6,
+                   prefix: str = "") -> list:
+    """HF T5ForConditionalGeneration state_dict -> our T5 flax tree
+    (reference loads 't5.*' keys from PL checkpoints,
+    m3ae_t5_mm_encoder_input.py:70-71)."""
+    def lin(tp, fp):
+        return [(f"{prefix}{tp}.weight", fp + ("kernel",), "linear")]
+
+    def lnw(tp, fp):
+        return [(f"{prefix}{tp}.weight", fp + ("weight",), "direct")]
+
+    rules = [(f"{prefix}shared.weight", ("shared", "embedding"), "direct")]
+    for i in range(num_layers):
+        tb, fb = f"encoder.block.{i}", (f"encoder_block_{i}",)
+        for m in ("q", "k", "v", "o"):
+            rules += lin(f"{tb}.layer.0.SelfAttention.{m}",
+                         fb + ("self_attn", m))
+        if i == 0:
+            rules += [(f"{prefix}{tb}.layer.0.SelfAttention."
+                       "relative_attention_bias.weight",
+                       fb + ("self_attn", "relative_attention_bias",
+                             "embedding"), "direct")]
+        rules += lnw(f"{tb}.layer.0.layer_norm", fb + ("self_ln",))
+        rules += lin(f"{tb}.layer.1.DenseReluDense.wi", fb + ("ff", "wi"))
+        rules += lin(f"{tb}.layer.1.DenseReluDense.wo", fb + ("ff", "wo"))
+        rules += lnw(f"{tb}.layer.1.layer_norm", fb + ("ff", "layer_norm"))
+    rules += lnw("encoder.final_layer_norm", ("encoder_final_ln",))
+    for i in range(num_decoder_layers):
+        tb, fb = f"decoder.block.{i}", (f"decoder_block_{i}",)
+        for m in ("q", "k", "v", "o"):
+            rules += lin(f"{tb}.layer.0.SelfAttention.{m}",
+                         fb + ("self_attn", m))
+        if i == 0:
+            rules += [(f"{prefix}{tb}.layer.0.SelfAttention."
+                       "relative_attention_bias.weight",
+                       fb + ("self_attn", "relative_attention_bias",
+                             "embedding"), "direct")]
+        rules += lnw(f"{tb}.layer.0.layer_norm", fb + ("self_ln",))
+        for m in ("q", "k", "v", "o"):
+            rules += lin(f"{tb}.layer.1.EncDecAttention.{m}",
+                         fb + ("cross_attn", m))
+        rules += lnw(f"{tb}.layer.1.layer_norm", fb + ("cross_ln",))
+        rules += lin(f"{tb}.layer.2.DenseReluDense.wi", fb + ("ff", "wi"))
+        rules += lin(f"{tb}.layer.2.DenseReluDense.wo", fb + ("ff", "wo"))
+        rules += lnw(f"{tb}.layer.2.layer_norm", fb + ("ff", "layer_norm"))
+    rules += lnw("decoder.final_layer_norm", ("decoder_final_ln",))
+    return rules
+
+
+def load_t5_state_dict(state_dict: Dict[str, np.ndarray], init_params,
+                       num_layers: int = 6, num_decoder_layers: int = 6,
+                       torch_prefix: str = "", flax_prefix: Tuple[str, ...] = ()):
+    """Copy HF-T5 tensors into (a subtree of) a flax param tree."""
+    flat = flatten({"params": init_params["params"]})
+    rules = build_t5_rules(num_layers, num_decoder_layers, torch_prefix)
+    loaded = []
+    for tk, fp, tr in rules:
+        if tk not in state_dict:
+            continue
+        path = ("params",) + flax_prefix + fp
+        flat[path] = _to_flax(np.asarray(state_dict[tk]), tr,
+                              None).astype(np.float32)
+        loaded.append(tk)
+    return unflatten(flat), loaded
+
+
 def build_decoder_model_rules(dec_cfg) -> list:
     """Rules for a full DecoderVQAModel tree (PL checkpoints of the
     reference DecoderModel save 'm3ae.*' + 'decoder.*' keys)."""

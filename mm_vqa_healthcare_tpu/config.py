@@ -139,6 +139,10 @@ def base_config() -> Dict[str, Any]:
         # Path to tokenizer files (vocab.txt / merges) if the HF hub cache is
         # unavailable; empty = resolve `tokenizer` via transformers.
         tokenizer_path="",
+        # T5 offline assets: sentencepiece tokenizer dir + pretrained torch
+        # state_dict (zero-egress equivalents of from_pretrained('t5-small')).
+        t5_tokenizer_path="",
+        t5_pretrained_path="",
         # Compute dtype inside the jitted step: "float32" | "bfloat16".
         compute_dtype="float32",
         # Attention implementation: "auto" (pallas on TPU, xla elsewhere),

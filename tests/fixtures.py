@@ -82,18 +82,20 @@ def make_vqa_fixture(root: str) -> Tuple[str, str, str]:
 def make_caption_fixture(root: str, name: str = "roco") -> str:
     from mm_vqa_healthcare_tpu.prepro.make_arrow import make_arrow
 
-    img_paths = make_images(os.path.join(root, "cap_images"))
+    img_paths = make_images(os.path.join(root, "cap_images"), n=10)
     data = {"train": [], "val": [], "test": []}
     captions = ["chest radiograph showing opacity",
                 "xray of the lung with mass",
                 "normal chest radiograph",
                 "heart enlarged in patient"]
+    next_img = 0
     for split, count in [("train", 6), ("val", 2), ("test", 2)]:
         for i in range(count):
             data[split].append({
-                "img_path": img_paths[(i + count) % len(img_paths)],
+                "img_path": img_paths[next_img],
                 "texts": [captions[i % len(captions)]],
             })
+            next_img += 1
     data_root = os.path.join(root, "cap_arrows")
     make_arrow(data, name, data_root)
     return data_root

@@ -1,0 +1,113 @@
+"""T5 VQA head integration tests at debug scale (mm / combined variants):
+soft-prompt assembly shapes, end-to-end fine-tune step, beam-search test
+path using the tiny WordPiece tokenizer as a stand-in T5 tokenizer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def vqa_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("t5_fixture")
+    return fixtures.make_vqa_fixture(str(root))
+
+
+def _t5_cfg_tiny():
+    from mm_vqa_healthcare_tpu.models.t5 import T5Config
+    return T5Config(vocab_size=200, d_model=32, d_kv=8, num_heads=4,
+                    d_ff=64, num_layers=2, num_decoder_layers=2)
+
+
+def _trainer(vqa_data, variant, **overrides):
+    from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+    from mm_vqa_healthcare_tpu.train.t5_trainer import T5Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, t5_max_length=8,
+                               unfreeze_num_encoder_layers=1,
+                               unfreeze_num_decoder_layers=1,
+                               **overrides)
+    tok = load_tokenizer("tiny-bert", vocab)
+    # stand-in T5 tokenizer: WordPiece with SEP acting as EOS
+    t = T5Trainer(cfg, variant=variant, tokenizer=tok)
+    # shrink the T5 stack
+    import mm_vqa_healthcare_tpu.models.t5 as t5_mod
+    t5_mod.T5_PRESETS["t5-small"] = _t5_cfg_tiny()
+    return t
+
+
+@pytest.mark.parametrize("variant", ["mm", "combined", "text"])
+def test_prepare_inputs_shapes(vqa_data, variant):
+    t = _trainer(vqa_data, variant)
+    t.setup_data()
+    t.init_params()
+    cfg = t.config
+    b = 2
+    batch = {
+        "text_ids": jnp.ones((b, cfg["max_text_len"]), jnp.int32),
+        "text_masks": jnp.ones((b, cfg["max_text_len"]), jnp.int32),
+        "image": jnp.zeros((b, cfg["image_size"], cfg["image_size"], 3)),
+        "t5_question_ids": jnp.ones((b, cfg["max_text_len"]), jnp.int32),
+    }
+    from mm_vqa_healthcare_tpu.models.t5_heads import T5VQAModel
+    embeds, mask = t.model.apply(t.params, batch, jax.random.key(0),
+                                 method=T5VQAModel.prepare_inputs)
+    assert embeds.shape == (b, 512, 32)
+    assert mask.shape == (b, 512)
+    assert bool(jnp.all(mask == 1))  # reference: all-ones over padded 512
+
+
+def test_fresh_projection_changes_with_rng(vqa_data):
+    """bug_compat: the CLS projection is a fresh random layer per forward."""
+    t = _trainer(vqa_data, "mm")
+    t.setup_data()
+    t.init_params()
+    cfg = t.config
+    batch = {
+        "text_ids": jnp.ones((1, cfg["max_text_len"]), jnp.int32),
+        "text_masks": jnp.ones((1, cfg["max_text_len"]), jnp.int32),
+        "image": jnp.ones((1, cfg["image_size"], cfg["image_size"], 3)),
+    }
+    from mm_vqa_healthcare_tpu.models.t5_heads import T5VQAModel
+    e1, _ = t.model.apply(t.params, batch, jax.random.key(1),
+                          method=T5VQAModel.prepare_inputs)
+    e2, _ = t.model.apply(t.params, batch, jax.random.key(2),
+                          method=T5VQAModel.prepare_inputs)
+    prefix_len = len(t.model_cfg.question_prefix_ids)
+    # prefix embeds identical, projected CLS differs across rngs
+    np.testing.assert_allclose(np.asarray(e1[:, :prefix_len]),
+                               np.asarray(e2[:, :prefix_len]), atol=1e-6)
+    assert not np.allclose(np.asarray(e1[:, prefix_len]),
+                           np.asarray(e2[:, prefix_len]))
+
+
+def test_t5_finetune_and_beam_test(vqa_data):
+    t = _trainer(vqa_data, "mm", fast_dev_run=True, max_epoch=1)
+    metrics = t.fit()
+    assert "test/exact_match" in metrics
+    assert "test/bleu" in metrics
+
+
+def test_unfreeze_partition(vqa_data):
+    t = _trainer(vqa_data, "mm")
+    t.setup_data()
+    t.init_params()
+    lbl = t._trainable_label(("params", "t5", "encoder_block_1", "self_attn",
+                              "q", "kernel"))
+    assert lbl == "train"     # top encoder block trainable
+    lbl = t._trainable_label(("params", "t5", "encoder_block_0", "self_attn",
+                              "q", "kernel"))
+    assert lbl == "frozen"
+    lbl = t._trainable_label(("params", "t5", "decoder_block_1", "ff", "wi",
+                              "kernel"))
+    assert lbl == "frozen"    # decoder FFN stays frozen (layer[2])
+    lbl = t._trainable_label(("params", "t5", "decoder_block_1",
+                              "cross_attn", "q", "kernel"))
+    assert lbl == "train"
+    lbl = t._trainable_label(("params", "m3ae", "vqa_head", "fc1", "kernel"))
+    assert lbl == "frozen"
