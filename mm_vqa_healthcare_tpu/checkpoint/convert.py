@@ -136,7 +136,6 @@ def build_rules(cfg) -> list:
                 f"vision_encoder.visual.transformer.resblocks.{i}",
                 v + ("transformer", f"resblocks_{i}"))
     else:
-        from mm_vqa_healthcare_tpu.models.swin import swin_rules
         rules += swin_rules(cfg)
 
     # -- projections / type embeddings / fusion ------------------------------
@@ -164,6 +163,12 @@ def build_rules(cfg) -> list:
                   ("mlm_head.bias", ("mlm_head", "bias"), "direct")]
     if cfg.use_itm_head:
         rules += _linear("itm_head.fc", ("itm_head", "fc"))
+    if getattr(cfg, "use_cls_head", False):
+        rules += _linear("cls_head.0", ("cls_head", "fc1"))
+        rules += _ln("cls_head.1", ("cls_head", "ln"))
+        rules += _linear("cls_head.3", ("cls_head", "fc2"))
+    if getattr(cfg, "use_irtr_head", False):
+        rules += _linear("irtr_head", ("irtr_head",))
     if cfg.use_mim_head:
         m = ("mim_head",)
         rules += _linear("mim_head.decoder_embed", m + ("decoder_embed",))
@@ -174,6 +179,58 @@ def build_rules(cfg) -> list:
         rules += _ln("mim_head.decoder_norm", m + ("decoder_norm",))
         rules += _linear("mim_head.decoder_pred", m + ("decoder_pred",))
     return rules
+
+
+def swin_rules(cfg) -> list:
+    """Swin tower rules (timm names under the reference's vision_encoder.
+    prefix; rel-pos bias tables re-interpolated to the configured window
+    like swin_adapt_position_encoding, swin_helpers.py:18-42)."""
+    from mm_vqa_healthcare_tpu.models.swin import swin_config
+    scfg = swin_config(cfg.vit, cfg.image_size)
+    v = ("vision_encoder",)
+    rules = [
+        ("vision_encoder.patch_embed.proj.weight", v + ("patch_kernel",), "patch"),
+        ("vision_encoder.patch_embed.proj.bias", v + ("patch_bias",), "direct"),
+    ]
+    rules += _ln("vision_encoder.patch_embed.norm", v + ("patch_norm",))
+    for i, depth in enumerate(scfg.depths):
+        for j in range(depth):
+            tp = f"vision_encoder.layers.{i}.blocks.{j}"
+            fp = v + (f"layers_{i}_blocks_{j}",)
+            rules += _ln(f"{tp}.norm1", fp + ("norm1",))
+            rules += _linear(f"{tp}.attn.qkv", fp + ("attn", "qkv"))
+            rules += [(f"{tp}.attn.relative_position_bias_table",
+                       fp + ("attn", "relative_position_bias_table"),
+                       "swin_relpos")]
+            rules += _linear(f"{tp}.attn.proj", fp + ("attn", "proj"))
+            rules += _ln(f"{tp}.norm2", fp + ("norm2",))
+            rules += _linear(f"{tp}.mlp.fc1", fp + ("fc1",))
+            rules += _linear(f"{tp}.mlp.fc2", fp + ("fc2",))
+        if i < len(scfg.depths) - 1:
+            tp = f"vision_encoder.layers.{i}.downsample"
+            fp = v + (f"layers_{i}_downsample",)
+            rules += [(f"{tp}.reduction.weight",
+                       fp + ("reduction", "kernel"), "linear")]
+            rules += _ln(f"{tp}.norm", fp + ("norm",))
+    rules += _ln("vision_encoder.norm", v + ("norm",))
+    # stash the target window size for the swin_relpos transform
+    for idx, (tk, fp, tr) in enumerate(rules):
+        if tr == "swin_relpos":
+            rules[idx] = (tk, fp, ("swin_relpos", scfg.window_size))
+    return rules
+
+
+def _adapt_swin_relpos(table: np.ndarray, target_window: int) -> np.ndarray:
+    """Bicubic re-interp of a [(2w-1)^2, heads] relative-position-bias
+    table to a new window size (swin_helpers.py:18-42)."""
+    from mm_vqa_healthcare_tpu.checkpoint.interpolate import bicubic_resize_2d
+    n, heads = table.shape
+    src = int(round(n ** 0.5))
+    dst = 2 * target_window - 1
+    if src == dst:
+        return table
+    grid = table.reshape(src, src, heads)
+    return bicubic_resize_2d(grid, dst, dst).reshape(dst * dst, heads)
 
 
 def build_decoder_head_rules(num_layers: int = 6) -> list:
@@ -299,7 +356,9 @@ def load_decoder_head_checkpoint(path: str, init_params, num_layers: int = 6):
     return unflatten(flat), loaded
 
 
-def _to_flax(value: np.ndarray, transform: str, cfg) -> np.ndarray:
+def _to_flax(value: np.ndarray, transform, cfg) -> np.ndarray:
+    if isinstance(transform, tuple) and transform[0] == "swin_relpos":
+        return _adapt_swin_relpos(value, transform[1])
     if transform == "direct":
         return value
     if transform in ("linear", "packed"):
@@ -313,7 +372,9 @@ def _to_flax(value: np.ndarray, transform: str, cfg) -> np.ndarray:
     raise ValueError(transform)
 
 
-def _to_torch(value: np.ndarray, transform: str, cfg) -> np.ndarray:
+def _to_torch(value: np.ndarray, transform, cfg) -> np.ndarray:
+    if isinstance(transform, tuple) and transform[0] == "swin_relpos":
+        return value
     if transform in ("direct", "clip_pos"):
         return value
     if transform in ("linear", "packed"):

@@ -63,10 +63,13 @@ class M3AEConfig:
     mim_layer: int = -1
     # Heads
     vqa_label_size: int = 498
+    cls_label_size: int = 14
     use_mlm_head: bool = False
     use_mim_head: bool = False
     use_itm_head: bool = False
     use_vqa_head: bool = True
+    use_cls_head: bool = False
+    use_irtr_head: bool = False
     # TPU knobs
     attention_impl: str = "auto"
     compute_dtype: str = "float32"
@@ -100,6 +103,12 @@ class M3AEConfig:
             use_mim_head=ln["mim"] > 0,
             use_itm_head=ln["itm"] > 0 or ln["irtr"] > 0,
             use_vqa_head=ln["vqa"] > 0,
+            use_cls_head=ln["cls"] > 0,
+            use_irtr_head=ln["irtr"] > 0,
+            cls_label_size=(
+                config["melinda_label_size"][config["label_column_name"]]
+                if config.get("label_column_name") else
+                config.get("mlc_label_size", 14)),
             attention_impl=config.get("attention_impl", "auto"),
             compute_dtype=config.get("compute_dtype", "float32"),
         )
@@ -165,6 +174,14 @@ class M3AE(nn.Module):
             self.itm_head = ITMHead()
         if cfg.use_vqa_head:
             self.vqa_head = VQAClassifierHead(label_size=cfg.vqa_label_size)
+        # cls_head / irtr_head are referenced by the reference's objectives
+        # (objectives.py:240,285) but never constructed in M3AETransformerSS
+        # (SURVEY.md §1) — built here so the cls/irtr tasks actually run.
+        if cfg.use_cls_head:
+            self.cls_head = VQAClassifierHead(label_size=cfg.cls_label_size)
+        if cfg.use_irtr_head:
+            from mm_vqa_healthcare_tpu.models.layers import Dense as _Dense
+            self.irtr_head = _Dense(1)
 
     # -- MAE random masking (reference m3ae_module.py:153-183) --------------
     def random_masking(self, x: jax.Array, mask_ratio: float,
@@ -249,7 +266,13 @@ class M3AE(nn.Module):
             x, y = x1, y1
 
         text_cls = self.multi_modal_language_pooler(x)
-        image_cls = self.multi_modal_vision_pooler(y)
+        if cfg.is_clip:
+            image_cls = self.multi_modal_vision_pooler(y)
+        else:
+            # Swin has no cls token: average-pool the sequence first
+            # (reference vision_pooler branch, m3ae_module.py:292-295)
+            avg = jnp.mean(y, axis=1, keepdims=True)
+            image_cls = self.multi_modal_vision_pooler(avg)
         cls_feats = jnp.concatenate([text_cls, image_cls], axis=-1)
 
         ret.update({
@@ -279,6 +302,12 @@ class M3AE(nn.Module):
     def apply_itm_head(self, cls_feats: jax.Array) -> jax.Array:
         return self.itm_head(cls_feats)
 
+    def apply_cls_head(self, cls_feats: jax.Array) -> jax.Array:
+        return self.cls_head(cls_feats)
+
+    def apply_irtr_head(self, cls_feats: jax.Array) -> jax.Array:
+        return self.irtr_head(cls_feats)
+
     def __call__(self, batch: Dict[str, jax.Array],
                  deterministic: bool = True) -> Dict[str, jax.Array]:
         """Plain forward = infer (used for nn.init of every submodule)."""
@@ -291,6 +320,10 @@ class M3AE(nn.Module):
             ret["mlm_logits"] = self.apply_mlm_head(ret["multi_modal_text_feats"])
         if cfg.use_itm_head:
             ret["itm_logits"] = self.apply_itm_head(ret["multi_modal_cls_feats"])
+        if cfg.use_cls_head:
+            ret["cls_logits"] = self.apply_cls_head(ret["multi_modal_cls_feats"])
+        if cfg.use_irtr_head:
+            ret["irtr_score"] = self.apply_irtr_head(ret["multi_modal_cls_feats"])
         if cfg.use_mim_head:
             n_patches = (cfg.image_size // cfg.patch_size) ** 2
             len_keep = int(n_patches * (1 - cfg.mim_prob))

@@ -1,0 +1,232 @@
+"""Swin Transformer vision encoder (reference
+m3ae/modules/vision_encoders/swin_transformer.py — the vendored timm model
+behind the swin32_* presets).
+
+TPU-first notes: window partitioning is pure reshape/transpose (layout
+changes XLA fuses away), the cyclic shift is jnp.roll, and the shifted-
+window attention mask is precomputed in numpy at trace time (static
+shapes).  Returns the [B, L, C] feature sequence without a classifier head
+(swin_transformer.py:410-527), as consumed by M3AE's average-pool branch
+(m3ae_module.py:292-295).
+
+Checkpoint mapping follows timm names (patch_embed.proj, layers.N.blocks.M
+.norm1/attn.qkv/attn.proj/norm2/mlp.fc1/fc2, downsample.reduction/norm,
+norm) via checkpoint/convert.swin_rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_vqa_healthcare_tpu.models.layers import Dense, LayerNorm, gelu_exact
+from mm_vqa_healthcare_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    image_size: int = 384
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    attention_impl: str = "auto"
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+SWIN_PRESETS = {
+    "swin_base_patch4_window7_224_in22k": dict(
+        image_size=224, embed_dim=128, depths=(2, 2, 18, 2),
+        num_heads=(4, 8, 16, 32), window_size=7),
+    "swin_base_patch4_window12_384_in22k": dict(
+        image_size=384, embed_dim=128, depths=(2, 2, 18, 2),
+        num_heads=(4, 8, 16, 32), window_size=12),
+    "swin_large_patch4_window12_384_in22k": dict(
+        image_size=384, embed_dim=192, depths=(2, 2, 18, 2),
+        num_heads=(6, 12, 24, 48), window_size=12),
+    # Debug scale
+    "swin_tiny_debug": dict(image_size=32, embed_dim=16, depths=(1, 1),
+                            num_heads=(2, 2), window_size=4),
+}
+
+
+def swin_config(name: str, image_size: int,
+                attention_impl: str = "auto") -> SwinConfig:
+    if name not in SWIN_PRESETS:
+        raise KeyError(f"Unknown swin model {name!r}")
+    kw = dict(SWIN_PRESETS[name])
+    kw["image_size"] = image_size
+    return SwinConfig(attention_impl=attention_impl, **kw)
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """[B, H, W, C] -> [B*nW, ws*ws, C] (swin_transformer.py:87-99)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """[ws*ws, ws*ws] index into the (2ws-1)^2 bias table (timm exact)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij"))          # [2, ws, ws]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]              # [2, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def shift_attention_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """[nW, N, N] additive mask for shifted windows (timm exact)."""
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    mask_windows = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        bnw, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = Dense(3 * c, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                    # [bnw, h, n, hd]
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h), jnp.float32)
+        idx = relative_position_index(self.window_size).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)[None]
+        if mask is not None:
+            # per-window shifted-attention mask, tiled over the batch dim
+            nw = mask.shape[0]
+            win_mask = jnp.tile(mask[None, :, None], (bnw // nw, 1, 1, 1, 1))
+            bias = bias + win_mask.reshape(bnw, 1, n, n)
+        out = dot_product_attention(q, k, v, bias, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return Dense(c, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    input_resolution: Tuple[int, int]
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hh, ww = self.input_resolution
+        ws, shift = self.window_size, self.shift_size
+        if min(hh, ww) <= ws:
+            ws, shift = min(hh, ww), 0
+        b, l, c = x.shape
+        shortcut = x
+        x = LayerNorm(name="norm1")(x).reshape(b, hh, ww, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shift_attention_mask(hh, ww, ws, shift))
+        else:
+            mask = None
+        windows = window_partition(x, ws)
+        attn = WindowAttention(self.dim, self.num_heads, ws,
+                               self.attention_impl, name="attn")(windows, mask)
+        x = window_reverse(attn, ws, hh, ww)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, l, c)
+        h = LayerNorm(name="norm2")(x)
+        h = Dense(int(c * self.mlp_ratio), name="fc1")(h)
+        h = gelu_exact(h)
+        h = Dense(c, name="fc2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    input_resolution: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hh, ww = self.input_resolution
+        b, l, c = x.shape
+        x = x.reshape(b, hh, ww, c)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], -1).reshape(b, l // 4, 4 * c)
+        x = LayerNorm(name="norm")(x)
+        return Dense(2 * c, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    cfg: SwinConfig
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        """NHWC image -> [B, L, num_features] sequence (no head)."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        b, hh, ww, _ = img.shape
+        x = img.reshape(b, hh // p, p, ww // p, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (hh // p) * (ww // p), p * p * 3)
+        kernel = self.param("patch_kernel", nn.initializers.normal(0.02),
+                            (p * p * 3, cfg.embed_dim), jnp.float32)
+        bias = self.param("patch_bias", nn.initializers.zeros,
+                          (cfg.embed_dim,), jnp.float32)
+        x = jnp.dot(x, kernel.astype(x.dtype)) + bias.astype(x.dtype)
+        x = LayerNorm(name="patch_norm")(x)
+        res = (hh // p, ww // p)
+        dim = cfg.embed_dim
+        for i, depth in enumerate(cfg.depths):
+            for j in range(depth):
+                x = SwinBlock(
+                    dim=dim, num_heads=cfg.num_heads[i],
+                    input_resolution=res, window_size=cfg.window_size,
+                    shift_size=0 if j % 2 == 0 else cfg.window_size // 2,
+                    mlp_ratio=cfg.mlp_ratio,
+                    attention_impl=cfg.attention_impl,
+                    name=f"layers_{i}_blocks_{j}")(x)
+            if i < len(cfg.depths) - 1:
+                x = PatchMerging(res, name=f"layers_{i}_downsample")(x)
+                res = (res[0] // 2, res[1] // 2)
+                dim *= 2
+        return LayerNorm(name="norm")(x)

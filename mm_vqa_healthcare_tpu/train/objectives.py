@@ -158,11 +158,65 @@ def compute_itm(model: M3AE, params, batch, rngs=None,
     return loss, aux
 
 
+# ---------------------------------------------------------------------------
+# CLS (reference compute_cls, objectives.py:237-260)
+# ---------------------------------------------------------------------------
+
+def compute_cls(model: M3AE, params, batch, rngs=None,
+                train: bool = False) -> Tuple[jax.Array, Dict[str, Any]]:
+    infer = _infer(model, params, batch, rngs, train)
+    logits = model.apply(params, infer["multi_modal_cls_feats"],
+                         method=M3AE.apply_cls_head)
+    labels = batch["cls_labels"]
+    loss = cross_entropy_ignore(logits, labels)
+    aux = {
+        "cls_loss_sum": loss,
+        "cls_correct": (jnp.argmax(logits, -1) == labels).sum(),
+        "cls_total": jnp.asarray(labels.shape[0]),
+    }
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# IRTR (reference compute_irtr, objectives.py:263-300): rank the true
+# caption against draw_false_text negatives per image.
+# ---------------------------------------------------------------------------
+
+def compute_irtr(model: M3AE, params, batch, rngs=None,
+                 train: bool = False) -> Tuple[jax.Array, Dict[str, Any]]:
+    false_len = sum(1 for k in batch if k.startswith("false_text_")
+                    and k.endswith("_ids"))
+    b = batch["text_ids"].shape[0]
+    text_ids = jnp.stack(
+        [batch["text_ids"]] + [batch[f"false_text_{i}_ids"]
+                               for i in range(false_len)], axis=1)
+    text_masks = jnp.stack(
+        [batch["text_masks"]] + [batch[f"false_text_{i}_masks"]
+                                 for i in range(false_len)], axis=1)
+    n = false_len + 1
+    images = jnp.repeat(batch["image"][:, None], n, axis=1)
+    flat_batch = {
+        "image": images.reshape((b * n,) + images.shape[2:]),
+        "text_ids": text_ids.reshape(b * n, -1),
+        "text_masks": text_masks.reshape(b * n, -1),
+    }
+    infer = _infer(model, params, flat_batch, rngs, train)
+    score = model.apply(params, infer["multi_modal_cls_feats"],
+                        method=M3AE.apply_irtr_head)[:, 0]
+    score = score.reshape(b, n)
+    answer = jnp.zeros(b, jnp.int32)   # true text is slot 0
+    loss = cross_entropy_ignore(score, answer)
+    aux = {"irtr_loss_sum": loss}
+    return loss, aux
+
+
 TASK_FNS = {
     "mlm": compute_mlm,
     "mim": compute_mim,
     "itm": compute_itm,
     "vqa": compute_vqa_m3ae,
+    "cls": compute_cls,
+    "irtr": compute_irtr,
 }
 
 

@@ -1,0 +1,100 @@
+"""Swin encoder tests: window partition round-trip, shift-mask structure,
+full tower shapes, M3AE integration (swin avg-pool branch), converter
+round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_vqa_healthcare_tpu.models.swin import (
+    SwinConfig, SwinTransformer, relative_position_index,
+    shift_attention_mask, window_partition, window_reverse)
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 3)
+    back = window_reverse(w, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_bounds():
+    idx = relative_position_index(7)
+    assert idx.shape == (49, 49)
+    assert idx.min() >= 0 and idx.max() < (2 * 7 - 1) ** 2
+    assert (np.diag(idx) == idx[0, 0]).all()  # same-offset on diagonal
+
+
+def test_shift_mask_blocks():
+    mask = shift_attention_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    # windows not touching the shifted boundary have all-zero mask
+    assert (mask[0] == 0).all()
+
+
+def test_swin_tower_shapes():
+    cfg = SwinConfig(image_size=32, patch_size=4, embed_dim=16,
+                     depths=(1, 1), num_heads=(2, 2), window_size=4,
+                     attention_impl="xla")
+    model = SwinTransformer(cfg)
+    img = jnp.ones((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    # 32/4=8 grid -> one merge -> 4x4=16 tokens, dim 32
+    assert out.shape == (2, 16, 32)
+
+
+def test_m3ae_with_swin_encoder():
+    import mm_vqa_healthcare_tpu.models.swin as swin_mod
+    from mm_vqa_healthcare_tpu.models.m3ae import M3AE, M3AEConfig
+    cfg = M3AEConfig(vit="swin_tiny_debug", image_size=32, patch_size=32,
+                     tokenizer="tiny-bert", vocab_size=200, hidden_size=64,
+                     num_heads=2, num_top_layer=1, input_image_embed_size=32,
+                     input_text_embed_size=64, vqa_label_size=5,
+                     attention_impl="xla")
+    model = M3AE(cfg)
+    batch = {
+        "text_ids": jnp.ones((2, 8), jnp.int32),
+        "text_masks": jnp.ones((2, 8), jnp.int32),
+        "image": jnp.ones((2, 32, 32, 3), jnp.float32),
+    }
+    params = model.init({"params": jax.random.key(0),
+                         "mim": jax.random.key(1)}, batch)
+    out = model.apply(params, batch, method=M3AE.infer)
+    assert out["multi_modal_cls_feats"].shape == (2, 128)
+
+
+def test_swin_converter_roundtrip():
+    from mm_vqa_healthcare_tpu.checkpoint import convert
+    import mm_vqa_healthcare_tpu.models.bert as bert_mod
+
+    class _Cfg:
+        is_clip = False
+        vit = "swin_tiny_debug"
+        image_size = 32
+        patch_size = 32
+        tokenizer = "tiny-bert"
+        num_top_layer = 1
+        use_vqa_head = True
+        use_mlm_head = use_itm_head = use_mim_head = False
+        use_cls_head = use_irtr_head = False
+        mim_decoder_num_layers = 0
+
+    rules = convert.build_rules(_Cfg)
+    swin_keys = [r[0] for r in rules if r[0].startswith("vision_encoder")]
+    assert "vision_encoder.patch_embed.proj.weight" in swin_keys
+    assert ("vision_encoder.layers.0.blocks.0.attn.relative_position_bias_table"
+            in swin_keys)
+    assert "vision_encoder.norm.weight" in swin_keys
+
+
+def test_swin_relpos_adaptation():
+    from mm_vqa_healthcare_tpu.checkpoint.convert import _adapt_swin_relpos
+    table = np.random.default_rng(0).normal(
+        size=((2 * 7 - 1) ** 2, 4)).astype(np.float32)
+    out = _adapt_swin_relpos(table, 12)
+    assert out.shape == ((2 * 12 - 1) ** 2, 4)
+    same = _adapt_swin_relpos(table, 7)
+    np.testing.assert_array_equal(same, table)
