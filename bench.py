@@ -79,22 +79,31 @@ def main():
     trainer, step, dev_batch, global_batch = build(batch_size, dtype, mode)
     rng = jax.random.key(0)
 
-    def run_one(i):
-        nonlocal_state = {}
+    # NOTE on timing: steps are chained through a data dependency (params
+    # in train mode; a loss-perturbed image in eval mode) and the loop ends
+    # with jax.device_get, which is the only reliable full-pipeline sync on
+    # remote-executed backends (block_until_ready can return early there).
+    def run_one(i, carry):
         if mode == "train":
             p, o, aux = step(trainer.params, trainer.opt_state, dev_batch,
                              jax.random.fold_in(rng, i))
             trainer.params, trainer.opt_state = p, o
             return aux["loss"]
-        return step(trainer.params, dev_batch)["loss"]
+        batch = dict(dev_batch)
+        if carry is not None:
+            batch["image"] = batch["image"] + (carry * 0.0).astype(
+                batch["image"].dtype)
+        return step(trainer.params, batch)["loss"]
 
-    # compile + warmup
-    run_one(0).block_until_ready()
-    run_one(1).block_until_ready()
+    # compile + warmup (synced)
+    loss = run_one(0, None)
+    loss = run_one(1, loss)
+    jax.device_get(loss)
     t0 = time.perf_counter()
+    carry = loss
     for i in range(steps):
-        loss = run_one(i + 2)
-    loss.block_until_ready()
+        carry = run_one(i + 2, carry)
+    jax.device_get(carry)
     dt = time.perf_counter() - t0
 
     sps = global_batch * steps / dt

@@ -154,23 +154,13 @@ class BertSelfAttention(nn.Module):
         q = split_heads(Dense(d, name="query")(hidden_states), self.num_heads)
         k = split_heads(Dense(d, name="key")(kv_source), self.num_heads)
         v = split_heads(Dense(d, name="value")(kv_source), self.num_heads)
-        use_prob_dropout = self.attention_dropout > 0.0 and not deterministic
-        if use_prob_dropout:
-            # HF applies dropout to the attention probabilities; that cannot
-            # fuse into the single-tile kernel yet, so compute via XLA.
-            depth = q.shape[-1]
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                                preferred_element_type=jnp.float32)
-            scores = scores / jnp.sqrt(jnp.asarray(depth, jnp.float32))
-            if attention_bias is not None:
-                scores = scores + attention_bias.astype(jnp.float32)
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(self.attention_dropout)(probs, deterministic=False)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32).astype(v.dtype)
-        else:
-            ctx = dot_product_attention(q, k, v, attention_bias,
-                                        impl=self.attention_impl)
+        rate = 0.0 if deterministic else self.attention_dropout
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        # HF-style dropout on the attention probabilities — fused in-kernel
+        # on the pallas path (TPU PRNG), jax.random on the XLA path.
+        ctx = dot_product_attention(q, k, v, attention_bias,
+                                    impl=self.attention_impl,
+                                    dropout_rate=rate, dropout_rng=rng)
         return merge_heads(ctx)
 
 

@@ -47,7 +47,9 @@ def _default_impl() -> str:
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
-                          impl: str = "auto") -> jax.Array:
+                          impl: str = "auto",
+                          dropout_rate: float = 0.0,
+                          dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Scaled dot-product attention over [B, H, S, D] operands.
 
     Args:
@@ -58,13 +60,34 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         (e.g. the reference's extended attention mask (1-m)*-10000, or a
         causal mask).  Added to the float32 scores before softmax.
       impl: "auto" | "pallas" | "xla".
+      dropout_rate/dropout_rng: HF-style dropout on the attention
+        probabilities (training only) — in-kernel on the pallas path.
     """
     if impl == "auto":
         impl = _default_impl()
     if impl == "pallas":
         from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
-        return fused_attention(q, k, v, bias)
-    return _xla_attention(q, k, v, bias)
+        seed = None
+        if dropout_rate > 0.0:
+            seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+        return fused_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                               dropout_seed=seed)
+    out_probs_dropout = dropout_rate > 0.0
+    depth = q.shape[-1]
+    if not out_probs_dropout:
+        return _xla_attention(q, k, v, bias)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

@@ -37,7 +37,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+def _dropout_keep_mask(shape, rate):
+    """Deterministic per-program dropout keep-mask from the seeded PRNG.
+    The PRNG must have been seeded (same seed in fwd and bwd so the mask
+    reproduces exactly for the recompute-based backward).
+
+    keep iff bits < (1-rate)*2^32 — chosen so the CPU TPU-interpreter
+    (whose prng stub returns zeros) degenerates to keep-all rather than
+    drop-all; real-TPU bits are uniform, P(keep) = 1-rate."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    threshold = jnp.uint32(min(int((1.0 - rate) * float(2 ** 32)),
+                               2 ** 32 - 1))
+    return bits < threshold
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
+                     dropout_rate=0.0, seed_ref=None):
     q = q_ref[0, 0].astype(jnp.float32)            # [Sq, D]
     k = k_ref[0, 0].astype(jnp.float32)            # [Sk, D]
     v = v_ref[0, 0].astype(jnp.float32)            # [Sk, D]
@@ -49,12 +65,18 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / denom
+    if dropout_rate > 0.0:
+        # HF semantics: dropout on the attention probabilities
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        keep = _dropout_keep_mask(probs.shape, dropout_rate)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale):
+                     dq_ref, dk_ref, dv_ref, *, scale,
+                     dropout_rate=0.0, seed_ref=None):
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
@@ -67,12 +89,22 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / denom                              # [Sq, Sk]
-    # dV = P^T dO
-    dv = jax.lax.dot_general(probs, do, (((0,), (0,)), ((), ())),
+    if dropout_rate > 0.0:
+        # regenerate the forward's exact keep-mask (same seed, same grid)
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        keep = _dropout_keep_mask(probs.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        probs_dropped = jnp.where(keep, probs * inv, 0.0)
+    else:
+        probs_dropped = probs
+    # dV = D(P)^T dO
+    dv = jax.lax.dot_general(probs_dropped, do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # dP = dO V^T
+    # dD(P) = dO V^T;  dP = mask/(1-p) * dD(P)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
     # dS = P * (dP - rowsum(dP * P))
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
@@ -111,17 +143,36 @@ def _specs(b, h, sq_p, sk_p, d):
     return qspec, kspec, bspec
 
 
-def _fwd(q, k, v, bias, interpret):
+def _seed_spec():
+    return pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM)
+
+
+def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
     b, h, sq, d = q.shape
     scale = 1.0 / (d ** 0.5)
     q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
     sq_p, sk_p = q.shape[2], k.shape[2]
     qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d)
-    # Collapse (1,1) leading block dims inside the kernel via ref[0].
+    in_specs = [qspec, kspec, kspec, bspec]
+    extra = []
+    if dropout_rate > 0.0:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
+            _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                             scale=scale, dropout_rate=dropout_rate,
+                             seed_ref=seed_ref)
+        in_specs.append(_seed_spec())
+        extra = [seed.reshape(1).astype(jnp.int32)]
+    else:
+        kernel = functools.partial(_attn_fwd_kernel, scale=scale)
+    if interpret and dropout_rate > 0.0:
+        # plain interpret mode lacks pltpu PRNG primitives; use the TPU
+        # interpreter which emulates them
+        interpret = pltpu.InterpretParams()
+    # Collapse (1,1) leading block dims inside the kernel via ref[0,0].
     out = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, scale=scale),
+        kernel,
         grid=(b, h),
-        in_specs=[qspec, kspec, kspec, bspec],
+        in_specs=in_specs,
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -131,21 +182,35 @@ def _fwd(q, k, v, bias, interpret):
             transcendentals=b * h * sq_p * sk_p,
         ),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias, *extra)
     return out[:, :, :sq0, :]
 
 
-def _bwd(q, k, v, bias, do, interpret):
+def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
     b, h, sq, d = q.shape
     scale = 1.0 / (d ** 0.5)
     q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
     do = jnp.pad(do, ((0, 0), (0, 0), (0, q.shape[2] - sq0), (0, 0)))
     sq_p, sk_p = q.shape[2], k.shape[2]
     qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d)
+    in_specs = [qspec, kspec, kspec, bspec, qspec]
+    extra = []
+    if dropout_rate > 0.0:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
+                   dq_ref, dk_ref, dv_ref):
+            _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                             dq_ref, dk_ref, dv_ref, scale=scale,
+                             dropout_rate=dropout_rate, seed_ref=seed_ref)
+        in_specs.append(_seed_spec())
+        extra = [seed.reshape(1).astype(jnp.int32)]
+    else:
+        kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    if interpret and dropout_rate > 0.0:
+        interpret = pltpu.InterpretParams()
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+        kernel,
         grid=(b, h),
-        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        in_specs=in_specs,
         out_specs=(qspec, kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
@@ -159,23 +224,24 @@ def _bwd(q, k, v, bias, do, interpret):
             transcendentals=b * h * sq_p * sk_p,
         ),
         interpret=interpret,
-    )(q, k, v, bias, do)
+    )(q, k, v, bias, do, *extra)
     return dq[:, :, :sq0, :], dk[:, :, :sk0, :], dv[:, :, :sk0, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_attention(q, k, v, bias, interpret):
-    return _fwd(q, k, v, bias, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention(q, k, v, bias, interpret, dropout_rate, seed):
+    return _fwd(q, k, v, bias, interpret, dropout_rate, seed)
 
 
-def _fused_attention_fwd(q, k, v, bias, interpret):
-    return _fwd(q, k, v, bias, interpret), (q, k, v, bias)
+def _fused_attention_fwd(q, k, v, bias, interpret, dropout_rate, seed):
+    out = _fwd(q, k, v, bias, interpret, dropout_rate, seed)
+    return out, (q, k, v, bias, seed)
 
 
-def _fused_attention_bwd(interpret, res, g):
-    q, k, v, bias = res
-    dq, dk, dv = _bwd(q, k, v, bias, g, interpret)
-    return dq, dk, dv, None
+def _fused_attention_bwd(interpret, dropout_rate, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _bwd(q, k, v, bias, g, interpret, dropout_rate, seed)
+    return dq, dk, dv, None, None
 
 
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
@@ -183,12 +249,24 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
-                    interpret: Optional[bool] = None) -> jax.Array:
+                    interpret: Optional[bool] = None,
+                    dropout_rate: float = 0.0,
+                    dropout_seed: Optional[jax.Array] = None) -> jax.Array:
     """Fused single-tile attention.  q,k,v: [B, H, S, D]; bias additive.
+
+    dropout_rate > 0 applies in-kernel dropout on the attention
+    probabilities (HF semantics) using the TPU PRNG, with the exact same
+    keep-mask regenerated in the backward recompute; dropout_seed is a
+    scalar int32 array (required when dropout_rate > 0).
 
     interpret=None auto-selects interpreter mode off-TPU so the same code
     path is exercised by CPU tests.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused_attention(q, k, v, bias, interpret)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_seed required when dropout_rate > 0")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    return _fused_attention(q, k, v, bias, interpret, float(dropout_rate),
+                            dropout_seed)

@@ -74,6 +74,7 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self._jitted: Dict[str, Any] = {}
+        self._best_scores: Dict[str, Dict[str, float]] = {}
         self.global_step = 0
         # normalize constants for device-side transforms
         tkey = config["val_transform_keys"][0]
@@ -291,6 +292,17 @@ class Trainer:
             metrics["mim/loss"] = sums["mim_loss_sum"]
         for k, v in text_metrics.compute().items():
             metrics[f"{split}/{k}"] = v
+        # sticky best-score tracking across epochs (reference epoch_wrapup
+        # score_best_epoch / close / open, m3ae_utils.py:66-75)
+        if "vqa/score" in metrics:
+            best = self._best_scores.setdefault(split, {"score": -1.0})
+            if metrics["vqa/score"] > best["score"]:
+                best["score"] = metrics["vqa/score"]
+                best["close"] = metrics.get("vqa/close_score", 0.0)
+                best["open"] = metrics.get("vqa/open_score", 0.0)
+            metrics["vqa/score_best_epoch"] = best["score"]
+            metrics["vqa/close_score_best_epoch"] = best.get("close", 0.0)
+            metrics["vqa/open_score_best_epoch"] = best.get("open", 0.0)
         return metrics
 
     def test(self) -> Dict[str, float]:
