@@ -50,6 +50,34 @@ def _jsonable(obj):
     return str(obj)
 
 
+def save_train_state(path: str, params, opt_state, step: int,
+                     config: Optional[Dict[str, Any]] = None):
+    """Resumable checkpoint: params + optimizer state + step counter
+    (the working version of the reference's dead `resume_from` key)."""
+    from flax import serialization
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": serialization.to_bytes(params),
+               "opt_state": serialization.to_bytes(opt_state),
+               "step": step}
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    if config is not None:
+        with open(path + ".config.json", "w") as f:
+            json.dump(_jsonable(config), f)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    from flax import serialization
+    import pickle
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(params_template, payload["params"])
+    opt_state = serialization.from_bytes(opt_state_template,
+                                         payload["opt_state"])
+    return params, opt_state, payload["step"]
+
+
 def export_torch_ckpt(path: str, params, model_cfg,
                       config: Optional[Dict[str, Any]] = None):
     """Write a reference-loadable PL-style checkpoint."""

@@ -67,7 +67,9 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
     probs = e / denom
     if dropout_rate > 0.0:
         # HF semantics: dropout on the attention probabilities
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
         keep = _dropout_keep_mask(probs.shape, dropout_rate)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
@@ -91,7 +93,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     probs = e / denom                              # [Sq, Sk]
     if dropout_rate > 0.0:
         # regenerate the forward's exact keep-mask (same seed, same grid)
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
         keep = _dropout_keep_mask(probs.shape, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
         probs_dropped = jnp.where(keep, probs * inv, 0.0)

@@ -213,6 +213,36 @@ class Trainer:
         micro_steps_total = max_steps * self.grad_accum_steps
         micro_step = 0
         epoch = 0
+        ckpt_dir = cfg.get("default_root_dir", "checkpoints")
+        last_path = os.path.join(ckpt_dir, f"{cfg['exp_name']}_last.ckpt")
+        # resume_from: dead config key in the reference (config.py:93);
+        # implemented here as full train-state restore (SURVEY.md §5)
+        if cfg.get("resume_from"):
+            self.params, self.opt_state, micro_step = \
+                ckpt_io.load_train_state(cfg["resume_from"], self.params,
+                                         self.opt_state)
+            self.global_step = micro_step // self.grad_accum_steps
+            print(f"Resumed from {cfg['resume_from']} at micro-step "
+                  f"{micro_step}")
+        # fractional val_check_interval (reference PL semantics: evaluate
+        # every int(steps_per_epoch * interval) steps within the epoch)
+        vci = cfg.get("val_check_interval", 1.0)
+        val_every = (max(1, int(steps_per_epoch * vci))
+                     if isinstance(vci, float) and vci < 1.0 else None)
+
+        def run_validation():
+            nonlocal best_metric, best_path
+            val_metrics = self.evaluate("val")
+            the_metric = val_metrics.get("vqa/score", 0.0)
+            self.logger.log_step("val", self.global_step, val_metrics)
+            if the_metric > best_metric:
+                best_metric = the_metric
+                best_path = os.path.join(
+                    ckpt_dir, f"{cfg['exp_name']}_best.msgpack")
+                ckpt_io.save_native(best_path, self.params, cfg,
+                                    {"step": self.global_step,
+                                     "val_metric": the_metric})
+
         t0 = time.time()
         while micro_step < micro_steps_total and epoch < cfg["max_epoch"]:
             for batch in dm.train_loader(epoch):
@@ -231,21 +261,19 @@ class Trainer:
                         "samples_per_sec": sps,
                         "lr": float(self.lr_fn(self.global_step)),
                     })
+                if (val_every and not cfg.get("fast_dev_run")
+                        and micro_step % (val_every
+                                          * self.grad_accum_steps) == 0):
+                    run_validation()
                 if micro_step >= micro_steps_total:
                     break
             epoch += 1
+            # save-last with optimizer state (resume point; the reference's
+            # ModelCheckpoint keeps best + last, main.py:37-44)
+            ckpt_io.save_train_state(last_path, self.params, self.opt_state,
+                                     micro_step, cfg)
             if not cfg.get("fast_dev_run"):
-                val_metrics = self.evaluate("val")
-                the_metric = val_metrics.get("vqa/score", 0.0)
-                self.logger.log_step("val", self.global_step, val_metrics)
-                if the_metric > best_metric:
-                    best_metric = the_metric
-                    best_path = os.path.join(
-                        cfg.get("default_root_dir", "checkpoints"),
-                        f"{cfg['exp_name']}_best.msgpack")
-                    ckpt_io.save_native(best_path, self.params, cfg,
-                                        {"step": self.global_step,
-                                         "val_metric": the_metric})
+                run_validation()
             if cfg.get("fast_dev_run"):
                 break
         # load best before test (reference trainer.test(ckpt_path="best"))

@@ -62,3 +62,25 @@ def test_grad_accumulation_math():
     # covered implicitly in Trainer.setup_optimizer; check the arithmetic
     batch_size, per_dev, n_dev = 64, 4, 8
     assert batch_size // (per_dev * n_dev) == 2
+
+
+def test_train_state_save_load(tmp_path, vqa_data):
+    """resume_from round-trip: params + opt_state + step restore."""
+    import jax
+    from mm_vqa_healthcare_tpu.checkpoint import io as ckpt_io
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab)
+    t = Trainer(cfg)
+    t.setup_data()
+    t.init_params()
+    t.setup_optimizer(steps_per_epoch=2)
+    path = str(tmp_path / "state.ckpt")
+    ckpt_io.save_train_state(path, t.params, t.opt_state, 7, cfg)
+    p2, o2, step = ckpt_io.load_train_state(path, t.params, t.opt_state)
+    assert step == 7
+    import numpy as np
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
+    fa, fb = flatten(t.params), flatten(p2)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
