@@ -50,6 +50,21 @@ def _jsonable(obj):
     return str(obj)
 
 
+def save_orbax(path: str, params):
+    """Async, sharding-aware checkpointing via orbax (multi-host native
+    saves; msgpack `save_native` remains the light-weight default)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, params_template):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), params_template)
+
+
 def save_train_state(path: str, params, opt_state, step: int,
                      config: Optional[Dict[str, Any]] = None):
     """Resumable checkpoint: params + optimizer state + step counter

@@ -84,3 +84,20 @@ def test_train_state_save_load(tmp_path, vqa_data):
     fa, fb = flatten(t.params), flatten(p2)
     for k in fa:
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+
+def test_predictor_end_to_end(tmp_path, vqa_data):
+    """Serving path: image files + questions -> english answers."""
+    import json
+    import numpy as np
+    from PIL import Image
+    from mm_vqa_healthcare_tpu.cli.predict import Predictor
+    data_root, label2ans, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, mesh_shape={"data": 1})
+    pred = Predictor(cfg, batch_size=2)
+    img = tmp_path / "q.png"
+    Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(img)
+    out = pred.answer([str(img)] * 3, ["is there cardiomegaly"] * 3)
+    assert len(out) == 3
+    answers = set(json.load(open(label2ans)).values())
+    assert all(o["answer"] in answers for o in out)
