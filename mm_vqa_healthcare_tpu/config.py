@@ -161,6 +161,8 @@ def base_config() -> Dict[str, Any]:
         remat="none",
         # Log every N steps (reference main.py:71).
         log_every_n_steps=10,
+        # Enable jax NaN checking (debug; SURVEY.md §5 sanitizer rebuild).
+        debug_nans=False,
     )
 
 

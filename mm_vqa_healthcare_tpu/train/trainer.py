@@ -65,8 +65,16 @@ class Trainer:
         self.model = M3AE(self.model_cfg)
         self.mesh = mesh_lib.make_mesh(config.get("mesh_shape"))
         self.num_devices = int(np.prod([s for s in self.mesh.devices.shape]))
-        self.logger = MetricLogger(config.get("log_dir", "result"),
-                                   config.get("exp_name", "exp"))
+        import os as _os
+        if config.get("debug_nans"):
+            jax.config.update("jax_debug_nans", True)
+        # run name {exp}-seed{N}-from_{ckpt} (reference main.py:31)
+        from_name = _os.path.splitext(_os.path.basename(
+            config.get("load_path", "")))[0] or "scratch"
+        self.logger = MetricLogger(
+            config.get("log_dir", "result"),
+            f"{config.get('exp_name', 'exp')}-from_{from_name}",
+            seed=config.get("seed", 0))
         self.seed = config["seed"]
         self.rng = jax.random.key(self.seed)
         self.label2ans = self._load_label2ans()
