@@ -120,30 +120,46 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
 
 
 def _pad_operands(q, k, v, bias):
-    """Pad Sq/Sk to lane multiples; pad bias with -inf on invalid keys."""
+    """Pad Sq/Sk to lane multiples.  The bias keeps its broadcastable shape
+    (e.g. [B,1,1,Sk] key masks, [1,1,Sq,Sk] causal) — it is NOT
+    materialized to [B,H,Sq,Sk] (that would stream gigabytes of redundant
+    mask through HBM per call); broadcasting happens in-kernel in VMEM.
+    Padded key positions get -inf via bias padding along Sk."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     sq_p = _round_up(max(sq, 8), 8)
     sk_p = _round_up(max(sk, _LANE), _LANE)
     if bias is None:
-        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, sq, sk))
-    if sq_p != sq or sk_p != sk:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+        bias = jnp.zeros((1, 1, 1, sk), jnp.float32)
+    bias = bias.astype(jnp.float32)
+    # normalize: broadcast the key axis (padding needs real entries there)
+    bias = jnp.broadcast_to(
+        bias, bias.shape[:3] + (sk,)) if bias.shape[3] != sk else bias
+    if sq_p != sq and bias.shape[2] != 1:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)),
+                       constant_values=_NEG_INF)
+    if sk_p != sk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - sq), (0, sk_p - sk)),
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, sk_p - sk)),
                        constant_values=_NEG_INF)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     return q, k, v, bias, sq, sk
 
 
-def _specs(b, h, sq_p, sk_p, d):
+def _specs(b, h, sq_p, sk_p, d, bias_shape):
     qspec = pl.BlockSpec((1, 1, sq_p, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, 1, sk_p, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 1, sq_p, sk_p), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM)
+    bb, bh, bq, _ = bias_shape
+    bspec = pl.BlockSpec(
+        (1, 1, bq, sk_p),
+        lambda i, j, _bb=bb, _bh=bh: (i if _bb > 1 else 0,
+                                      j if _bh > 1 else 0, 0, 0),
+        memory_space=pltpu.VMEM)
     return qspec, kspec, bspec
 
 
@@ -156,7 +172,7 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
     scale = 1.0 / (d ** 0.5)
     q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
     sq_p, sk_p = q.shape[2], k.shape[2]
-    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d)
+    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d, bias.shape)
     in_specs = [qspec, kspec, kspec, bspec]
     extra = []
     if dropout_rate > 0.0:
@@ -196,7 +212,7 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
     q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
     do = jnp.pad(do, ((0, 0), (0, 0), (0, q.shape[2] - sq0), (0, 0)))
     sq_p, sk_p = q.shape[2], k.shape[2]
-    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d)
+    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d, bias.shape)
     in_specs = [qspec, kspec, kspec, bspec, qspec]
     extra = []
     if dropout_rate > 0.0:
