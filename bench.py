@@ -26,6 +26,14 @@ import os
 import time
 
 import jax
+
+# persistent compile cache: repeated driver/bench runs skip the
+# multi-minute XLA+Mosaic compile (harmless if unsupported)
+try:
+    jax.config.update('jax_compilation_cache_dir',
+                      '/root/repo/.jax_cache')
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
