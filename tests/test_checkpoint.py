@@ -238,3 +238,96 @@ def test_roundtrip_params_to_torch_and_back():
     finally:
         bert_mod.TEXT_ENCODER_PRESETS["bert-base-uncased"] = orig_t
         cv.CLIP_VIT_PRESETS["ViT-B/16"] = orig_v
+
+
+def test_bert_cross_layer_matches_torch_oracle():
+    """BertCrossLayer parity: self-attn -> cross-attn -> FFN with HF math,
+    assembled from stock torch modules as the oracle (the reference block
+    is bert_model.py:445-503)."""
+    import torch.nn as tnn
+    import math as _math
+
+    d, h, inter, sq, sk, b = 32, 4, 64, 6, 9, 2
+    torch.manual_seed(3)
+
+    class TorchSelfAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.query = tnn.Linear(d, d)
+            self.key = tnn.Linear(d, d)
+            self.value = tnn.Linear(d, d)
+
+        def forward(self, x, kv, mask_bias):
+            def heads(t):
+                B, S, _ = t.shape
+                return t.view(B, S, h, d // h).permute(0, 2, 1, 3)
+            q, k, v = heads(self.query(x)), heads(self.key(kv)), heads(self.value(kv))
+            scores = q @ k.transpose(-1, -2) / _math.sqrt(d // h)
+            if mask_bias is not None:
+                scores = scores + mask_bias
+            p = torch.softmax(scores, -1)
+            ctx = (p @ v).permute(0, 2, 1, 3).reshape(x.shape[0], -1, d)
+            return ctx
+
+    class TorchBlock(tnn.Module):
+        """HF post-LN: Attn(dense+LN(res)) x2 + gelu FFN + LN(res)."""
+
+        def __init__(self):
+            super().__init__()
+            self.s = TorchSelfAttn()
+            self.s_out = tnn.Linear(d, d)
+            self.s_ln = tnn.LayerNorm(d, eps=1e-12)
+            self.c = TorchSelfAttn()
+            self.c_out = tnn.Linear(d, d)
+            self.c_ln = tnn.LayerNorm(d, eps=1e-12)
+            self.inter = tnn.Linear(d, inter)
+            self.out = tnn.Linear(inter, d)
+            self.out_ln = tnn.LayerNorm(d, eps=1e-12)
+
+        def forward(self, x, enc, self_bias, cross_bias):
+            a = self.s_ln(self.s_out(self.s(x, x, self_bias)) + x)
+            c = self.c_ln(self.c_out(self.c(a, enc, cross_bias)) + a)
+            f = self.out(tnn.functional.gelu(self.inter(c)))
+            return self.out_ln(f + c)
+
+    oracle = TorchBlock().eval()
+    x = torch.randn(b, sq, d)
+    enc = torch.randn(b, sk, d)
+    mask = torch.ones(b, sk)
+    mask[1, 5:] = 0
+    cross_bias = ((1 - mask) * -10000.0)[:, None, None, :]
+    with torch.no_grad():
+        ref = oracle(x, enc, None, cross_bias).numpy()
+
+    from mm_vqa_healthcare_tpu.models.bert import BertCrossLayer
+    from mm_vqa_healthcare_tpu.ops.attention import extended_attention_mask
+    layer = BertCrossLayer(num_heads=h, intermediate_size=inter,
+                           attention_impl="xla")
+    init = layer.init(jax.random.key(0), jnp.asarray(x.numpy()),
+                      jnp.asarray(enc.numpy()))
+
+    def lin(m):
+        return {"kernel": m.weight.detach().numpy().T,
+                "bias": m.bias.detach().numpy()}
+
+    def ln(m):
+        return {"scale": m.weight.detach().numpy(),
+                "bias": m.bias.detach().numpy()}
+
+    params = {"params": {
+        "attention": {
+            "self": {"query": lin(oracle.s.query), "key": lin(oracle.s.key),
+                     "value": lin(oracle.s.value)},
+            "output": {"dense": lin(oracle.s_out), "LayerNorm": ln(oracle.s_ln)},
+        },
+        "crossattention": {
+            "self": {"query": lin(oracle.c.query), "key": lin(oracle.c.key),
+                     "value": lin(oracle.c.value)},
+            "output": {"dense": lin(oracle.c_out), "LayerNorm": ln(oracle.c_ln)},
+        },
+        "intermediate": {"dense": lin(oracle.inter)},
+        "output": {"dense": lin(oracle.out), "LayerNorm": ln(oracle.out_ln)},
+    }}
+    out = layer.apply(params, jnp.asarray(x.numpy()), jnp.asarray(enc.numpy()),
+                      None, extended_attention_mask(jnp.asarray(mask.numpy())))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=1e-4)
