@@ -101,3 +101,32 @@ def test_predictor_end_to_end(tmp_path, vqa_data):
     assert len(out) == 3
     answers = set(json.load(open(label2ans)).values())
     assert all(o["answer"] in answers for o in out)
+
+
+def test_reference_ckpt_load_flow(tmp_path, vqa_data):
+    """test_m3ae.sh flow: a reference-format PL .ckpt loads through
+    load_path and drives test-only eval (the checkpoint contract)."""
+    from mm_vqa_healthcare_tpu.checkpoint import io as ckpt_io
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, test_only=True)
+    t0 = Trainer(cfg)
+    t0.setup_data()
+    params = t0.init_params()
+    ckpt = str(tmp_path / "ref_style.ckpt")
+    ckpt_io.export_torch_ckpt(ckpt, params, t0.model_cfg, cfg)
+
+    cfg2 = fixtures.tiny_config(data_root, vocab, test_only=True,
+                                load_path=ckpt)
+    t1 = Trainer(cfg2)
+    t1.setup_data()
+    t1.init_params()
+    metrics = t1.test()
+    assert "vqa/score" in metrics
+    # loaded params must equal the exported ones
+    import numpy as np
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
+    fa, fb = flatten(params), flatten(t1.params)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   atol=1e-6, err_msg=str(k))
