@@ -62,6 +62,74 @@ def make_arrow(data: Dict[str, List[dict]], dataset_name: str, save_dir: str):
         _write_table(df, f"{save_dir}/{dataset_name}_{split}.arrow")
 
 
+def make_arrow_mimic_cxr(data: Dict[str, List[dict]], dataset_name: str,
+                         save_dir: str):
+    """MIMIC-CXR caption arrows with chexpert labels
+    (reference make_arrow.py:66-101).  data[split] = [{"img_path", "texts",
+    "chexpert"}]; schema [image, caption, image_id, chexpert, split]."""
+    from collections import defaultdict as dd
+    iid2captions, iid2chexpert = dd(list), dd(list)
+    iid2split = {}
+    for split, split_data in data.items():
+        for sample in split_data:
+            iid2captions[sample["img_path"]].extend(sample["texts"])
+            iid2chexpert[sample["img_path"]].extend(sample["chexpert"])
+            iid2split[sample["img_path"]] = split
+    rows = []
+    for path in iid2captions:
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as fp:
+            binary = fp.read()
+        rows.append([binary, iid2captions[path], path, iid2chexpert[path],
+                     iid2split[path]])
+    for split in ["train", "val", "test"]:
+        batch = [r for r in rows if r[-1] == split]
+        df = pd.DataFrame(batch, columns=["image", "caption", "image_id",
+                                          "chexpert", "split"])
+        _write_table(df, f"{save_dir}/{dataset_name}_{split}.arrow")
+
+
+def make_arrow_melinda(data: Dict[str, List[dict]], dataset_name: str,
+                       save_dir: str):
+    """MELINDA classification arrows (reference make_arrow.py:300-355;
+    the live pdb.set_trace at :337-338 is not replicated).  data[split] =
+    [{"img_path", "texts", "i_meth", "p_meth", "i_meth_label",
+    "p_meth_label"}]; string labels are mapped via sorted vocabularies."""
+    from collections import defaultdict as dd
+    cols = ["i_meth", "p_meth", "i_meth_label", "p_meth_label"]
+    iid2captions = dd(list)
+    iid2labels = {c: dd(list) for c in cols}
+    iid2split = {}
+    for split, split_data in data.items():
+        for sample in split_data:
+            iid2captions[sample["img_path"]].extend(sample["texts"])
+            iid2split[sample["img_path"]] = split
+            for c in cols:
+                iid2labels[c][sample["img_path"]].append(sample[c])
+    vocab = {c: {v: i for i, v in enumerate(sorted(
+        {vv for vals in iid2labels[c].values() for vv in vals}))}
+        for c in cols}
+    rows = []
+    for path in iid2captions:
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as fp:
+            binary = fp.read()
+        label_lists = [[vocab[c][v] for v in iid2labels[c][path]]
+                       for c in cols]
+        for lst in label_lists:
+            assert len(lst) == len(iid2captions[path])
+        rows.append([binary, iid2captions[path], path, *label_lists,
+                     iid2split[path]])
+    for split in ["train", "val", "test"]:
+        batch = [r for r in rows if r[-1] == split]
+        df = pd.DataFrame(batch, columns=["image", "caption", "image_id",
+                                          *cols, "split"])
+        _write_table(df, f"{save_dir}/{dataset_name}_{split}.arrow")
+    return vocab
+
+
 def build_answer_vocab(all_answers: List[str]):
     """Insertion-ordered vocab over normalized answers (make_arrow.py:137-146)."""
     normalized = [normalize_word(str(a).lower()) for a in all_answers]
