@@ -245,7 +245,9 @@ class M3AE(nn.Module):
             uni_image = self.vision_encoder(img)
         uni_image = self.multi_modal_vision_proj(uni_image.astype(dtype))
         image_masks = jnp.ones(uni_image.shape[:2], jnp.int32)
-        ext_image_bias = extended_attention_mask(image_masks)
+        # image tokens are never padded (reference builds an all-ones mask,
+        # m3ae_module.py:253) — a None bias skips streaming a zero tensor
+        ext_image_bias = None
 
         # Modality-type embeddings
         type_emb = self.modality_type_embeddings

@@ -251,9 +251,16 @@ class Trainer:
                                     {"step": self.global_step,
                                      "val_metric": the_metric})
 
+        # optional jax.profiler capture of steps 3..8 (SURVEY.md §5 tracing
+        # rebuild); set MMVQA_PROFILE_DIR to enable
+        profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
         t0 = time.time()
         while micro_step < micro_steps_total and epoch < cfg["max_epoch"]:
             for batch in dm.train_loader(epoch):
+                if profile_dir and micro_step == 3:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and micro_step == 8:
+                    jax.profiler.stop_trace()
                 dev_batch = self._device_batch(batch)
                 rng = jax.random.fold_in(self.rng, micro_step)
                 self.params, self.opt_state, aux = train_step(
