@@ -80,9 +80,9 @@ class DecoderLayer(nn.Module):
         residual = x
         h = LayerNorm(name="pre_norm")(x)
         mha1 = MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
-                                  name="mha1")
+                                  cfg.dropout, name="mha1")
         if cache is None:
-            attn1 = mha1(h, h, h, self_bias)
+            attn1 = mha1(h, h, h, self_bias, deterministic=deterministic)
         else:
             attn1, cache = mha1(h, h, h, None, cache=cache,
                                 cache_index=cache_index)
@@ -91,7 +91,8 @@ class DecoderLayer(nn.Module):
         residual = x
         x = LayerNorm(name="layernorm1")(x)
         attn2 = MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
-                                   name="mha2")(x, enc_output, enc_output)
+                                   cfg.dropout, name="mha2")(
+            x, enc_output, enc_output, deterministic=deterministic)
         x = nn.Dropout(cfg.dropout)(attn2, deterministic=deterministic)
         x = x + residual
         residual = x

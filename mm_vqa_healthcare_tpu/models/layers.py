@@ -72,12 +72,14 @@ class MultiHeadAttention(nn.Module):
     """
     num_heads: int
     attention_impl: str = "auto"
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
                  bias: Optional[jax.Array] = None,
                  cache: Optional[dict] = None,
-                 cache_index: Optional[jax.Array] = None):
+                 cache_index: Optional[jax.Array] = None,
+                 deterministic: bool = True):
         d = query.shape[-1]
         in_proj_w = self.param("in_proj_kernel", nn.initializers.normal(0.02),
                                (d, 3 * d), jnp.float32)
@@ -110,5 +112,8 @@ class MultiHeadAttention(nn.Module):
             ctx = dot_product_attention(q, k, v, step_bias, impl="xla")
             out = Dense(d, name="out_proj")(merge_heads(ctx))
             return out, {"k": k, "v": v}
-        ctx = dot_product_attention(q, k, v, bias, impl=self.attention_impl)
+        rate = 0.0 if deterministic else self.dropout_rate
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        ctx = dot_product_attention(q, k, v, bias, impl=self.attention_impl,
+                                    dropout_rate=rate, dropout_rng=rng)
         return Dense(d, name="out_proj")(merge_heads(ctx))

@@ -314,8 +314,20 @@ class T5Trainer:
                     self.params, self.opt_state, dev_batch, rng)
                 step += 1
                 if step % cfg.get("log_every_n_steps", 10) == 0:
-                    self.logger.log_step(
-                        "train", step, {"loss": float(jax.device_get(loss))})
+                    record = {"loss": float(jax.device_get(loss))}
+                    if cfg.get("t5_generation", True):
+                        # reference generates (beam 4) during training for
+                        # metrics (m3ae_t5_mm_encoder_input.py:252-278);
+                        # done at the logging cadence, not every step
+                        tm = TextMetrics(self.t5_tokenizer,
+                                         cfg.get("bug_compat", True))
+                        seqs = self.generate(dev_batch, rng)
+                        texts = self.t5_tokenizer.batch_decode(
+                            seqs, skip_special_tokens=True)
+                        truths = [a[0] for a in batch["vqa_answer"]]
+                        tm.update(texts, truths[: len(texts)])
+                        record.update(tm.compute())
+                    self.logger.log_step("train", step, record)
                 if cfg.get("fast_dev_run"):
                     break
             path = os.path.join(cfg.get("default_root_dir", "checkpoints"),
