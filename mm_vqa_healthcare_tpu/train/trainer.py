@@ -301,7 +301,14 @@ class Trainer:
         loader = dm.val_loader() if split == "val" else dm.test_loader()
         eval_step = self._get_jitted("eval")
         sums: Dict[str, float] = {}
-        text_metrics = TextMetrics(tokenizer=dm.tokenizer,
+        # dedicated tokenizer instance: the loader's prefetch thread uses
+        # dm.tokenizer concurrently and HF fast tokenizers are not
+        # thread-safe ("Already borrowed")
+        if not hasattr(self, "_metrics_tokenizer"):
+            from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+            self._metrics_tokenizer = load_tokenizer(
+                self.config["tokenizer"], self.config.get("tokenizer_path", ""))
+        text_metrics = TextMetrics(tokenizer=self._metrics_tokenizer,
                                    bug_compat=self.config.get("bug_compat", True))
         for batch in loader:
             dev_batch = self._device_batch(batch)

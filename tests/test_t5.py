@@ -117,3 +117,50 @@ def test_beam_search_token_parity_with_hf(models, max_length, num_beams):
     ln = min(out.shape[1], ref.shape[1])
     np.testing.assert_array_equal(out[:, :ln], ref[:, :ln])
     assert out.shape == ref.shape
+
+
+def test_beam_search_eos_heavy_parity(models):
+    """Adversarial: boost the EOS embedding so beams hit EOS immediately —
+    exercises the hypothesis pool / early-stopping / finalize padding
+    corners against HF."""
+    hf, model, params, cfg = models
+    import copy
+    # boost EOS logits via the tied embedding row (applies to both models)
+    with torch.no_grad():
+        hf.shared.weight[1] *= 3.0
+    import jax
+    emb = jnp.asarray(params["params"]["shared"]["embedding"])
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    params2["params"]["shared"]["embedding"] = emb.at[1].mul(3.0)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, VOCAB, (2, 5))
+    mask = np.ones((2, 5), np.int64)
+    max_length, num_beams = 7, 3
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_length=max_length, num_beams=num_beams, early_stopping=True,
+            pad_token_id=0, eos_token_id=1).numpy()
+    # restore hf weights for other tests
+    with torch.no_grad():
+        hf.shared.weight[1] /= 3.0
+
+    enc = model.apply(params2, input_ids=jnp.asarray(ids, jnp.int32),
+                      attention_mask=jnp.asarray(mask, jnp.int32),
+                      method=T5.encode)
+    enc_rep = jnp.repeat(enc, num_beams, axis=0)
+    mask_rep = jnp.repeat(jnp.asarray(mask, jnp.int32), num_beams, axis=0)
+    cache = model.apply(params2, 2 * num_beams, max_length, enc_rep,
+                        method=T5.init_cache)
+
+    def step_fn(tokens, pos, cache):
+        return model.apply(params2, tokens, pos, enc_rep, mask_rep, cache,
+                           method=T5.decode_step)
+
+    out = beam_search(step_fn, lambda c, i: jax.tree_util.tree_map(
+        lambda x: x[i], c), cache, 2, num_beams, max_length,
+        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+    ln = min(out.shape[1], ref.shape[1])
+    np.testing.assert_array_equal(out[:, :ln], ref[:, :ln])
+    assert out.shape == ref.shape
