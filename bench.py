@@ -78,11 +78,74 @@ def build(batch_size: int, dtype: str, mode: str):
     return trainer, step, dev_batch, b
 
 
+def bench_decode(batch_size: int, steps: int):
+    """Generative decoder path: KV-cached greedy search answers/sec
+    (reference test_m3ae_decoder.sh path, eval batch 32)."""
+    from mm_vqa_healthcare_tpu.config import compose
+    from mm_vqa_healthcare_tpu.decode.greedy import greedy_search
+    from mm_vqa_healthcare_tpu.models.decoder import Decoder
+    from mm_vqa_healthcare_tpu.models.decoder_model import (
+        DecoderModelConfig, DecoderVQAModel)
+
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+        "image_size": 384, "per_gpu_batchsize": batch_size,
+        "compute_dtype": "bfloat16"})
+    model_cfg = DecoderModelConfig.from_dict(cfg)
+    model = DecoderVQAModel(model_cfg)
+    b, s = batch_size, cfg["max_text_len"]
+    batch = {
+        "text_ids": jnp.ones((b, s), jnp.int32),
+        "text_masks": jnp.ones((b, s), jnp.int32),
+        "image": jnp.zeros((b, 384, 384, 3), jnp.float32),
+    }
+    t = model_cfg.max_answer_length - 1
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "mim": jax.random.key(1)},
+        batch, jnp.zeros((b, t), jnp.int32), jnp.ones((b, t), jnp.int32))
+    decoder = Decoder(model_cfg.decoder)
+    dec_params = {"params": params["params"]["decoder"]}
+
+    @jax.jit
+    def decode(batch):
+        enc = model.apply(params, batch, method=DecoderVQAModel.encode)
+        return greedy_search(decoder, dec_params, enc,
+                             cls_id=101, sep_id=102, pad_id=0)
+
+    out = decode(batch)
+    jax.device_get(out)
+    t0 = time.perf_counter()
+    carry = out
+    for i in range(steps):
+        stepb = dict(batch)
+        stepb["image"] = batch["image"] + (carry[0, 0] * 0).astype(
+            batch["image"].dtype)
+        carry = decode(stepb)
+    jax.device_get(carry)
+    dt = (time.perf_counter() - t0) / steps
+    return b / dt, dt
+
+
 def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     mode = os.environ.get("BENCH_MODE", "train")
+
+    if mode == "decode":
+        batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+        aps, dt = bench_decode(batch_size, max(3, steps // 3))
+        baseline = float(os.environ.get("A6000_DECODE_APS", "40.0"))
+        print(json.dumps({
+            "metric": "vqa_rad_decoder_greedy_answers_per_sec_per_chip",
+            "value": round(aps / jax.device_count(), 2),
+            "unit": "answers/sec/chip",
+            "vs_baseline": round(aps / jax.device_count() / baseline, 3),
+            "detail": {"batch": batch_size, "max_len": 128,
+                       "batch_time_ms": round(dt * 1000, 2),
+                       "baseline_note": "A6000 full-prefix-reforward "
+                                        "estimate 40 answers/s"},
+        }))
+        return
 
     trainer, step, dev_batch, global_batch = build(batch_size, dtype, mode)
     rng = jax.random.key(0)

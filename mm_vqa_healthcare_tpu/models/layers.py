@@ -102,10 +102,10 @@ class MultiHeadAttention(nn.Module):
         if cache is not None:
             # Incremental decode: q is one position; k/v update a fixed-size
             # cache at cache_index and attend over positions <= cache_index.
-            k = jax.lax.dynamic_update_slice(cache["k"], k,
-                                             (0, 0, cache_index, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v,
-                                             (0, 0, cache_index, 0))
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, cache_index, 0))
             length = k.shape[2]
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, length), 3)
             step_bias = jnp.where(pos <= cache_index, 0.0, -1e30)
