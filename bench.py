@@ -44,8 +44,7 @@ def build(batch_size: int, dtype: str, mode: str):
     from mm_vqa_healthcare_tpu.train.trainer import Trainer
 
     label_size = 498
-    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
-        "image_size": 384,
+    overrides = {
         "per_gpu_batchsize": batch_size,
         "batch_size": batch_size * jax.device_count(),
         "compute_dtype": dtype,
@@ -53,7 +52,14 @@ def build(batch_size: int, dtype: str, mode: str):
         "warmup_steps": 0,
         "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
         "drop_rate": float(os.environ.get("BENCH_DROP", "0.1")),
-    })
+    }
+    if mode == "pretrain":
+        # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64
+        cfg = compose(["task_pretrain_m3ae", "clip16"],
+                      {**overrides, "image_size": 288})
+    else:
+        cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"],
+                      {**overrides, "image_size": 384})
     trainer = Trainer(cfg)
     trainer.init_params()
     trainer.setup_optimizer(steps_per_epoch=100)
@@ -61,9 +67,10 @@ def build(batch_size: int, dtype: str, mode: str):
     n = trainer.mesh.devices.shape[0]
     b = batch_size * n
     s = cfg["max_text_len"]
+    size = cfg["image_size"]
     rng = np.random.default_rng(0)
     batch = {
-        "image": rng.normal(size=(b, 384, 384, 3)).astype(np.float32),
+        "image": rng.normal(size=(b, size, size, 3)).astype(np.float32),
         "text_ids": rng.integers(0, 30522, (b, s)).astype(np.int32),
         "text_masks": np.ones((b, s), np.int32),
         "text_labels": np.full((b, s), -100, np.int32),
@@ -72,9 +79,22 @@ def build(batch_size: int, dtype: str, mode: str):
         "answer_types": rng.integers(0, 2, b).astype(np.int32),
         "sample_valid": np.ones(b, np.float32),
     }
+    if mode == "pretrain":
+        masked = batch["text_ids"].copy()
+        labels = np.full((b, s), -100, np.int32)
+        sel = rng.random((b, s)) < 0.15
+        labels[sel] = masked[sel]
+        masked[sel] = 103  # [MASK]
+        batch["text_ids_mlm"] = masked
+        batch["text_labels_mlm"] = labels
+        batch["false_image_0"] = rng.normal(
+            size=(b, size, size, 3)).astype(np.float32)
+        for k in ("vqa_targets", "answer_types", "sample_valid"):
+            batch.pop(k)
     from mm_vqa_healthcare_tpu.parallel.mesh import shard_batch
     dev_batch = shard_batch(trainer.mesh, batch)
-    step = trainer._get_jitted("train" if mode == "train" else "eval")
+    step = trainer._get_jitted(
+        "train" if mode in ("train", "pretrain") else "eval")
     return trainer, step, dev_batch, b
 
 
@@ -155,7 +175,7 @@ def main():
     # with jax.device_get, which is the only reliable full-pipeline sync on
     # remote-executed backends (block_until_ready can return early there).
     def run_one(i, carry):
-        if mode == "train":
+        if mode in ("train", "pretrain"):
             p, o, aux = step(trainer.params, trainer.opt_state, dev_batch,
                              jax.random.fold_in(rng, i))
             trainer.params, trainer.opt_state = p, o
