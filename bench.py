@@ -28,12 +28,15 @@ import time
 import jax
 
 # persistent compile cache: repeated driver/bench runs skip the
-# multi-minute XLA+Mosaic compile (harmless if unsupported)
-try:
-    jax.config.update('jax_compilation_cache_dir',
-                      '/root/repo/.jax_cache')
-except Exception:
-    pass
+# multi-minute XLA+Mosaic remote compile.  TPU only — CPU AOT entries are
+# machine-feature-pinned and only produce scary reload warnings.
+import os as _os
+if "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+    except Exception:
+        pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,7 +112,8 @@ def bench_decode(batch_size: int, steps: int):
 
     cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
         "image_size": 384, "per_gpu_batchsize": batch_size,
-        "compute_dtype": "bfloat16"})
+        "compute_dtype": "bfloat16",
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto")})
     model_cfg = DecoderModelConfig.from_dict(cfg)
     model = DecoderVQAModel(model_cfg)
     b, s = batch_size, cfg["max_text_len"]

@@ -1,0 +1,80 @@
+"""Parameter partition specs for the `model` mesh axis (tensor parallel).
+
+The reference scales only by data parallelism (SURVEY.md §2.7); this module
+adds Megatron-style tensor parallelism the GSPMD way: annotate parameter
+shardings, shard the batch on `data`, and let XLA insert the all-reduces
+over ICI.  With model=1 every spec collapses to replication, so the data-
+parallel path is unchanged.
+
+Layout rules (column-then-row per block, so each transformer block needs
+one all-reduce per attention + one per MLP):
+  * attention q/k/v kernels, packed in_proj, MLP up-projections
+    (intermediate/c_fc/wi/fc1, vqa fc1):  shard the OUTPUT dim  P(None, model)
+    (their biases shard on `model` too)
+  * attention out_proj and MLP down-projections (attention-output dense,
+    c_proj, wo, fc2): shard the INPUT dim  P(model, None)
+  * embeddings, LayerNorms, poolers, heads' final projections: replicated.
+
+Head-count constraint: `model` must divide num_heads (checked by callers).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mm_vqa_healthcare_tpu.parallel.mesh import MODEL_AXIS
+
+# parent-module names whose kernels shard the output (column) dim
+_COL_PARENTS = {"query", "key", "value", "c_fc", "wi", "fc1", "qkv", "ffn1",
+                "q", "k", "v"}
+# parent-module names whose kernels shard the input (row) dim
+_ROW_PARENTS = {"out_proj", "c_proj", "wo", "fc2", "o", "ffn2"}
+
+
+def leaf_spec(path: Tuple) -> P:
+    parts = [getattr(p, "key", str(p)) for p in path]
+    leaf = parts[-1]
+    parent = parts[-2] if len(parts) > 1 else ""
+    grandparent = parts[-3] if len(parts) > 2 else ""
+    # "intermediate/dense" is a column layer; "output/dense" a row layer
+    if parent == "dense":
+        parent = grandparent
+    if leaf == "kernel":
+        if parent in _COL_PARENTS or parent == "intermediate":
+            return P(None, MODEL_AXIS)
+        if parent in _ROW_PARENTS or parent == "output":
+            return P(MODEL_AXIS, None)
+        return P()
+    if leaf == "in_proj_kernel":
+        return P(None, MODEL_AXIS)
+    if leaf == "in_proj_bias":
+        return P(MODEL_AXIS)
+    if leaf == "bias" and (parent in _COL_PARENTS or parent == "intermediate"):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def params_shardings(mesh: Mesh, params):
+    """Pytree of NamedSharding matching `params` (TP specs on the model
+    axis; pure replication when model=1)."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape))[MODEL_AXIS]
+
+    def to_sharding(path, leaf):
+        spec = leaf_spec(path) if model_size > 1 else P()
+        # dims must divide evenly; fall back to replication when they don't
+        if model_size > 1 and spec != P():
+            for dim, axis in enumerate(spec):
+                if axis is not None and leaf.shape[dim] % model_size != 0:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """device_put the tree with its TP shardings (committed arrays — jit
+    then propagates shardings without explicit in_shardings)."""
+    return jax.device_put(params, params_shardings(mesh, params))

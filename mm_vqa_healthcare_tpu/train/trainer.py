@@ -126,7 +126,11 @@ class Trainer:
                 cfg["load_path"], self.model_cfg, params)
             print(f"Loaded {len(loaded)} tensors from {cfg['load_path']} "
                   f"({len(missing)} not in ckpt)")
-        self.params = jax.device_put(params, mesh_lib.replicated(self.mesh))
+        # TP-aware placement: params get model-axis partition specs
+        # (pure replication when model=1) — jit propagates from these
+        # committed shardings
+        from mm_vqa_healthcare_tpu.parallel.partition import shard_params
+        self.params = shard_params(self.mesh, params)
         return self.params
 
     def setup_optimizer(self, steps_per_epoch: Optional[int] = None):
@@ -183,17 +187,12 @@ class Trainer:
     def _get_jitted(self, name):
         if name in self._jitted:
             return self._jitted[name]
-        rep = mesh_lib.replicated(self.mesh)
-        data = mesh_lib.batch_sharding(self.mesh)
+        # shardings are inferred from the committed inputs (params carry
+        # their TP/replicated placement, batches the data-axis sharding)
         if name == "train":
-            fn = jax.jit(
-                self._train_step_fn,
-                in_shardings=(rep, rep, data, rep),
-                out_shardings=(rep, rep, rep),
-                donate_argnums=(0, 1))
+            fn = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
         elif name == "eval":
-            fn = jax.jit(self._eval_step_fn,
-                         in_shardings=(rep, data), out_shardings=rep)
+            fn = jax.jit(self._eval_step_fn)
         self._jitted[name] = fn
         return fn
 
