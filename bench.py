@@ -105,7 +105,7 @@ def bench_decode(batch_size: int, steps: int):
     """Generative decoder path: KV-cached greedy search answers/sec
     (reference test_m3ae_decoder.sh path, eval batch 32)."""
     from mm_vqa_healthcare_tpu.config import compose
-    from mm_vqa_healthcare_tpu.decode.greedy import greedy_search
+    from mm_vqa_healthcare_tpu.decode.greedy import greedy_search_host
     from mm_vqa_healthcare_tpu.models.decoder import Decoder
     from mm_vqa_healthcare_tpu.models.decoder_model import (
         DecoderModelConfig, DecoderVQAModel)
@@ -129,11 +129,17 @@ def bench_decode(batch_size: int, steps: int):
     decoder = Decoder(model_cfg.decoder)
     dec_params = {"params": params["params"]["decoder"]}
 
-    @jax.jit
+    encode = jax.jit(lambda batch: model.apply(
+        params, batch, method=DecoderVQAModel.encode))
+    jit_cache = {}
+
+    # host-driven greedy: the while_loop path compiles pathologically
+    # slowly through the axon remote-compile tunnel (PERF.md)
     def decode(batch):
-        enc = model.apply(params, batch, method=DecoderVQAModel.encode)
-        return greedy_search(decoder, dec_params, enc,
-                             cls_id=101, sep_id=102, pad_id=0)
+        enc = encode(batch)
+        return greedy_search_host(decoder, dec_params, enc,
+                                  cls_id=101, sep_id=102, pad_id=0,
+                                  jit_cache=jit_cache)
 
     out = decode(batch)
     jax.device_get(out)
@@ -144,7 +150,7 @@ def bench_decode(batch_size: int, steps: int):
         stepb["image"] = batch["image"] + (carry[0, 0] * 0).astype(
             batch["image"].dtype)
         carry = decode(stepb)
-    jax.device_get(carry)
+    jax.device_get(carry)  # host loop already syncs per token
     dt = (time.perf_counter() - t0) / steps
     return b / dt, dt
 

@@ -58,11 +58,58 @@ def greedy_search(decoder: Decoder, params, enc_feats: jax.Array,
         cond, body, (tokens0, finished0, jnp.asarray(0, jnp.int32), cache0))
 
     out = tokens[:, 1:]                      # drop the CLS start token
+    return _pad_after_first_terminator(out, sep_id, pad_id, eos_id)
+
+
+def _pad_after_first_terminator(out, sep_id, pad_id, eos_id):
+    b = out.shape[0]
     term = out == sep_id
     if eos_id is not None:
         term = term | (out == eos_id)
     seen_before = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32),
          jnp.cumsum(term.astype(jnp.int32), axis=1)[:, :-1]], axis=1)
-    out = jnp.where(seen_before > 0, pad_id, out)
-    return out
+    return jnp.where(seen_before > 0, pad_id, out)
+
+
+def greedy_search_host(decoder: Decoder, params, enc_feats: jax.Array,
+                       cls_id: int, sep_id: int, pad_id: int,
+                       eos_id: Optional[int] = None,
+                       jit_cache: Optional[dict] = None) -> jax.Array:
+    """Host-driven variant of `greedy_search`: a jitted per-token step with
+    the loop on host (identical tokens).  Useful on runtimes where
+    lax.while_loop compiles pathologically slowly (e.g. remote-compiled
+    tunnels); also what serving stacks typically do for early exit."""
+    import numpy as np
+    cfg = decoder.cfg
+    b = enc_feats.shape[0]
+    max_len = cfg.max_len
+    if jit_cache is None:
+        jit_cache = {}
+    if "step" not in jit_cache:
+        @jax.jit
+        def step(current, t, enc, cache):
+            logits, cache = decoder.apply(params, current, t, enc, cache,
+                                          method=Decoder.decode_step)
+            nxt = jnp.argmax(jax.nn.log_softmax(
+                logits.astype(jnp.float32), -1), -1).astype(jnp.int32)
+            return nxt, cache
+        jit_cache["step"] = step
+    step = jit_cache["step"]
+    cache = decoder.apply(params, b, enc_feats.dtype,
+                          method=Decoder.init_cache)
+    tokens = np.full((b, max_len + 1), pad_id, np.int32)
+    tokens[:, 0] = cls_id
+    finished = np.zeros(b, bool)
+    for t in range(max_len):
+        nxt, cache = step(jnp.asarray(tokens[:, t:t + 1]),
+                          jnp.asarray(t, jnp.int32), enc_feats, cache)
+        nxt = np.asarray(jax.device_get(nxt))
+        tokens[:, t + 1] = nxt
+        finished |= (nxt == sep_id)
+        if eos_id is not None:
+            finished |= (nxt == eos_id)
+        if finished.all():
+            break
+    out = jnp.asarray(tokens[:, 1:])
+    return _pad_after_first_terminator(out, sep_id, pad_id, eos_id)

@@ -187,3 +187,16 @@ def test_decoder_finetune_tiny(vqa_data):
     t.max_answer_length = 8
     metrics = t.fit()
     assert "test/exact_match" in metrics
+
+
+def test_host_greedy_matches_while_loop():
+    """greedy_search_host (host loop, jitted step) produces the same
+    tokens as the lax.while_loop implementation."""
+    import numpy as np
+    from mm_vqa_healthcare_tpu.decode.greedy import (greedy_search,
+                                                     greedy_search_host)
+    dec, params = _init_decoder()
+    enc = jax.random.normal(jax.random.key(9), (3, 4, 32))
+    a = np.asarray(greedy_search(dec, params, enc, 2, 3, 0))
+    b = np.asarray(greedy_search_host(dec, params, enc, 2, 3, 0))
+    np.testing.assert_array_equal(a, b)
