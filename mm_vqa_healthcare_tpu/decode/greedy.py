@@ -15,6 +15,7 @@ incremental decode produces identical argmax tokens in O(T)):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -88,14 +89,14 @@ def greedy_search_host(decoder: Decoder, params, enc_feats: jax.Array,
         jit_cache = {}
     if "step" not in jit_cache:
         @jax.jit
-        def step(current, t, enc, cache):
+        def step(params, current, t, enc, cache):
             logits, cache = decoder.apply(params, current, t, enc, cache,
                                           method=Decoder.decode_step)
             nxt = jnp.argmax(jax.nn.log_softmax(
                 logits.astype(jnp.float32), -1), -1).astype(jnp.int32)
             return nxt, cache
         jit_cache["step"] = step
-    step = jit_cache["step"]
+    step = functools.partial(jit_cache["step"], params)
     cache = decoder.apply(params, b, enc_feats.dtype,
                           method=Decoder.init_cache)
     tokens = np.full((b, max_len + 1), pad_id, np.int32)

@@ -182,16 +182,35 @@ class DecoderTrainer:
         preds = jnp.argmax(logits, axis=-1)
         return params, opt_state, loss, preds
 
+    def _token_ids(self):
+        tok = self.tokenizer
+        return dict(cls_id=tok.cls_token_id, sep_id=tok.sep_token_id,
+                    pad_id=tok.pad_token_id,
+                    eos_id=getattr(tok, "eos_token_id", None))
+
     def _decode_fn(self, params, batch):
         enc = self.model.apply(params, batch, method=DecoderVQAModel.encode)
         decoder = Decoder(self.model_cfg.decoder)
         dec_params = {"params": params["params"]["decoder"]}
-        tok = self.tokenizer
-        return greedy_search(decoder, dec_params, enc,
-                             cls_id=tok.cls_token_id,
-                             sep_id=tok.sep_token_id,
-                             pad_id=tok.pad_token_id,
-                             eos_id=getattr(tok, "eos_token_id", None))
+        return greedy_search(decoder, dec_params, enc, **self._token_ids())
+
+    def _host_decode_fn(self):
+        """Host-stepped greedy (identical tokens): jitted encoder + jitted
+        per-token step, loop on host — sidesteps while_loop compile
+        pathologies on remote-compiled runtimes (PERF.md)."""
+        from mm_vqa_healthcare_tpu.decode.greedy import greedy_search_host
+        encode = jax.jit(lambda p, b: self.model.apply(
+            p, b, method=DecoderVQAModel.encode))
+        jit_cache = {}
+        decoder = Decoder(self.model_cfg.decoder)
+
+        def fn(params, batch):
+            enc = encode(params, batch)
+            dec_params = {"params": params["params"]["decoder"]}
+            return greedy_search_host(decoder, dec_params, enc,
+                                      jit_cache=jit_cache,
+                                      **self._token_ids())
+        return fn
 
     def _get_jitted(self, name):
         if name not in self._jitted:
@@ -204,9 +223,15 @@ class DecoderTrainer:
                     out_shardings=(rep, rep, rep, data),
                     donate_argnums=(0, 1))
             else:
-                self._jitted[name] = jax.jit(
-                    self._decode_fn, in_shardings=(rep, data),
-                    out_shardings=data)
+                if os.environ.get("MMVQA_HOST_DECODE") or \
+                        self.config.get("host_decode"):
+                    # host loop outside jit; only the encoder is jitted
+                    # (inside greedy_search_host the step fn is jitted)
+                    self._jitted[name] = self._decode_fn
+                else:
+                    self._jitted[name] = jax.jit(
+                        self._decode_fn, in_shardings=(rep, data),
+                        out_shardings=data)
         return self._jitted[name]
 
     def _device_batch(self, batch, with_targets: bool):
