@@ -73,6 +73,7 @@ class M3AEConfig:
     # TPU knobs
     attention_impl: str = "auto"
     compute_dtype: str = "float32"
+    remat: str = "none"   # "none" | "full" (checkpoint encoder/fusion layers)
 
     @classmethod
     def from_dict(cls, config: Dict[str, Any]) -> "M3AEConfig":
@@ -111,6 +112,7 @@ class M3AEConfig:
                 config.get("mlc_label_size", 14)),
             attention_impl=config.get("attention_impl", "auto"),
             compute_dtype=config.get("compute_dtype", "float32"),
+            remat=config.get("remat", "none"),
         )
 
     @property
@@ -151,11 +153,15 @@ class M3AE(nn.Module):
             attention_dropout=cfg.drop_rate,
             attention_impl=cfg.attention_impl,
         )
+        # remat="full": rematerialize fusion blocks in the backward pass
+        # (jax.checkpoint) to trade FLOPs for activation memory
+        cross_cls = (nn.remat(BertCrossLayer, static_argnums=(5,))
+                     if cfg.remat == "full" else BertCrossLayer)
         self.multi_modal_language_layers = [
-            BertCrossLayer(**fusion_kwargs, name=f"multi_modal_language_layers_{i}")
+            cross_cls(**fusion_kwargs, name=f"multi_modal_language_layers_{i}")
             for i in range(cfg.num_top_layer)]
         self.multi_modal_vision_layers = [
-            BertCrossLayer(**fusion_kwargs, name=f"multi_modal_vision_layers_{i}")
+            cross_cls(**fusion_kwargs, name=f"multi_modal_vision_layers_{i}")
             for i in range(cfg.num_top_layer)]
         self.multi_modal_language_pooler = Pooler()
         self.multi_modal_vision_pooler = Pooler()
