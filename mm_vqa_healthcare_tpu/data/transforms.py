@@ -18,7 +18,7 @@ Normalization constants: CLIP (transform.py:60-67), imagenet and inception
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from PIL import Image

@@ -19,7 +19,7 @@ cache reordering is a jitted gather.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

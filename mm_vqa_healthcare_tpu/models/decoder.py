@@ -27,7 +27,7 @@ O(T) instead of the reference's O(T^2) re-forwards.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -35,8 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mm_vqa_healthcare_tpu.models.layers import Dense, MultiHeadAttention
-from mm_vqa_healthcare_tpu.ops.attention import (
-    causal_bias, dot_product_attention, merge_heads, split_heads)
+from mm_vqa_healthcare_tpu.ops.attention import causal_bias
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,8 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
