@@ -16,7 +16,8 @@ Override with env A6000_BASELINE_SPS.
 
 Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 10),
-BENCH_MODE (train|eval, default train).
+BENCH_MODE (train|eval|pretrain|decode, default train), BENCH_ATTN
+(auto|pallas|xla), BENCH_DROP (attention dropout rate).
 """
 
 from __future__ import annotations
