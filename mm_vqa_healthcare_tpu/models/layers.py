@@ -28,19 +28,25 @@ def gelu_exact(x: jax.Array) -> jax.Array:
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in float32 (fp16/bf16-safe), scale+bias params."""
+    """LayerNorm computed in float32 (fp16/bf16-safe), scale+bias params.
+
+    MMVQA_FAST_LN=1 (perf experiment) keeps the statistics in the input
+    dtype instead — NOT parity-safe, off by default."""
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+        fast = os.environ.get("MMVQA_FAST_LN") == "1"
+        x32 = x if fast else x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-        return (y * scale + bias).astype(orig_dtype)
+        return (y * scale.astype(x32.dtype)
+                + bias.astype(x32.dtype)).astype(orig_dtype)
 
 
 class Dense(nn.Module):

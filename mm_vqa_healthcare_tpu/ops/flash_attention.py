@@ -54,12 +54,14 @@ def _dropout_keep_mask(shape, rate):
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
                      dropout_rate=0.0, seed_ref=None):
-    q = q_ref[0, 0].astype(jnp.float32)            # [Sq, D]
-    k = k_ref[0, 0].astype(jnp.float32)            # [Sk, D]
-    v = v_ref[0, 0].astype(jnp.float32)            # [Sk, D]
+    # matmuls take the native (bf16) operands with fp32 accumulation —
+    # full-rate MXU; softmax statistics stay fp32
+    q = q_ref[0, 0]                                # [Sq, D]
+    k = k_ref[0, 0]                                # [Sk, D]
+    v = v_ref[0, 0]                                # [Sk, D]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [Sq, Sk]
+        preferred_element_type=jnp.float32) * scale   # [Sq, Sk] fp32
     scores = scores + bias_ref[0, 0].astype(jnp.float32)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -72,17 +74,18 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
             pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
         keep = _dropout_keep_mask(probs.shape, dropout_rate)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, *, scale,
                      dropout_rate=0.0, seed_ref=None):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -102,17 +105,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     else:
         probs_dropped = probs
     # dV = D(P)^T dO
-    dv = jax.lax.dot_general(probs_dropped, do, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(probs_dropped.astype(do.dtype), do,
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     # dD(P) = dO V^T;  dP = mask/(1-p) * dD(P)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if dropout_rate > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
-    # dS = P * (dP - rowsum(dP * P))
+    # dS = P * (dP - rowsum(dP * P))  (fp32 statistics)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    ds_lp = ds.astype(k.dtype)
+    dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds_lp, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
