@@ -164,3 +164,35 @@ def test_beam_search_eos_heavy_parity(models):
     ln = min(out.shape[1], ref.shape[1])
     np.testing.assert_array_equal(out[:, :ln], ref[:, :ln])
     assert out.shape == ref.shape
+
+
+def test_beam_search_length_penalty_parity(models):
+    """length_penalty != 1 changes hypothesis ranking; match HF."""
+    hf, model, params, cfg = models
+    rng = np.random.default_rng(11)
+    ids = rng.integers(2, VOCAB, (2, 6))
+    mask = np.ones((2, 6), np.int64)
+    max_length, num_beams, lp = 8, 3, 2.0
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_length=max_length, num_beams=num_beams, early_stopping=True,
+            length_penalty=lp, pad_token_id=0, eos_token_id=1).numpy()
+    enc = model.apply(params, input_ids=jnp.asarray(ids, jnp.int32),
+                      attention_mask=jnp.asarray(mask, jnp.int32),
+                      method=T5.encode)
+    enc_rep = jnp.repeat(enc, num_beams, axis=0)
+    mask_rep = jnp.repeat(jnp.asarray(mask, jnp.int32), num_beams, axis=0)
+    cache = model.apply(params, 2 * num_beams, max_length, enc_rep,
+                        method=T5.init_cache)
+
+    def step_fn(tokens, pos, cache):
+        return model.apply(params, tokens, pos, enc_rep, mask_rep, cache,
+                           method=T5.decode_step)
+
+    out = beam_search(step_fn, lambda c, i: jax.tree_util.tree_map(
+        lambda x: x[i], c), cache, 2, num_beams, max_length,
+        eos_token_id=1, pad_token_id=0, decoder_start_token_id=0,
+        length_penalty=lp)
+    ln = min(out.shape[1], ref.shape[1])
+    np.testing.assert_array_equal(out[:, :ln], ref[:, :ln])

@@ -130,3 +130,33 @@ def test_reference_ckpt_load_flow(tmp_path, vqa_data):
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    atol=1e-6, err_msg=str(k))
+
+
+def test_eval_filler_samples_excluded():
+    """Wrap-padded final eval batches must not affect metric sums
+    (sample_valid masks the filler rows)."""
+    import jax
+    import jax.numpy as jnp
+    from mm_vqa_healthcare_tpu.models.m3ae import M3AE, M3AEConfig
+    from mm_vqa_healthcare_tpu.train.objectives import compute_vqa_m3ae
+    cfg = M3AEConfig(vit="ViT-Tiny/16", image_size=32, patch_size=16,
+                     tokenizer="tiny-bert", vocab_size=200, hidden_size=64,
+                     num_heads=2, num_top_layer=1, input_image_embed_size=64,
+                     input_text_embed_size=64, vqa_label_size=4,
+                     attention_impl="xla")
+    model = M3AE(cfg)
+    base = {
+        "text_ids": jnp.ones((3, 8), jnp.int32),
+        "text_masks": jnp.ones((3, 8), jnp.int32),
+        "image": jnp.ones((3, 32, 32, 3), jnp.float32),
+        "vqa_targets": jnp.eye(4)[jnp.asarray([0, 1, 2])].astype(jnp.float32),
+        "answer_types": jnp.asarray([0, 1, 0], jnp.int32),
+        "sample_valid": jnp.asarray([1.0, 1.0, 0.0]),  # row 2 is filler
+    }
+    params = model.init({"params": jax.random.key(0),
+                         "mim": jax.random.key(1)}, base)
+    _, aux = compute_vqa_m3ae(model, params, base)
+    assert float(aux["vqa_total"]) == 2.0
+    assert float(aux["vqa_close_total"] + aux["vqa_open_total"]) == 2.0
+    # score sums can't exceed the valid count
+    assert float(aux["vqa_score_sum"]) <= 2.0
