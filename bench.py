@@ -56,6 +56,8 @@ def build(batch_size: int, dtype: str, mode: str):
         "warmup_steps": 0,
         "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
         "drop_rate": float(os.environ.get("BENCH_DROP", "0.1")),
+        "cast_params_once": os.environ.get("BENCH_CAST", "1") == "1",
+        "remat": os.environ.get("BENCH_REMAT", "none"),
     }
     if mode == "pretrain":
         # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64
@@ -179,7 +181,8 @@ def main():
         return
 
     trainer, step, dev_batch, global_batch = build(batch_size, dtype, mode)
-    rng = jax.random.key(0)
+    from mm_vqa_healthcare_tpu.train.trainer import make_train_key
+    rng = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
 
     # NOTE on timing: steps are chained through a data dependency (params
     # in train mode; a loss-perturbed image in eval mode) and the loop ends
@@ -201,12 +204,17 @@ def main():
     loss = run_one(0, None)
     loss = run_one(1, loss)
     jax.device_get(loss)
+    profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     carry = loss
     for i in range(steps):
         carry = run_one(i + 2, carry)
     jax.device_get(carry)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     sps = global_batch * steps / dt
     sps_chip = sps / jax.device_count()

@@ -159,6 +159,14 @@ def base_config() -> Dict[str, Any]:
         device_transforms=True,
         # Remat (activation checkpointing) policy: "none" | "full".
         remat="none",
+        # Mixed precision: cast fp32 master params to compute_dtype ONCE at
+        # the top of each jitted step (halves HBM weight traffic; grads and
+        # the optimizer stay fp32).  No effect when compute_dtype=float32.
+        cast_params_once=True,
+        # PRNG implementation for the training rng stream: "auto" (rbg on
+        # TPU — hardware-accelerated bits, much cheaper dropout masks than
+        # threefry — threefry elsewhere), "threefry", "rbg".
+        rng_impl="auto",
         # Log every N steps (reference main.py:71).
         log_every_n_steps=10,
         # Enable jax NaN checking (debug; SURVEY.md §5 sanitizer rebuild).

@@ -44,7 +44,8 @@ class DecoderTrainer:
         self.logger = MetricLogger(config.get("log_dir", "result"),
                                    config.get("exp_name", "decoder"))
         self.seed = config["seed"]
-        self.rng = jax.random.key(self.seed)
+        from mm_vqa_healthcare_tpu.train.trainer import make_train_key
+        self.rng = make_train_key(self.seed, config.get("rng_impl", "auto"))
         self.dm: Optional[MTDataModule] = None
         self.params = None
         self.opt_state = None
@@ -165,8 +166,14 @@ class DecoderTrainer:
     # ------------------------------------------------------------------ steps
     def _train_step_fn(self, params, opt_state, batch, rng):
         pad_id = self.tokenizer.pad_token_id
+        _dt = self.config.get("compute_dtype", "float32")
+        cast_dt = (jnp.dtype(_dt) if _dt != "float32"
+                   and self.config.get("cast_params_once", True) else None)
 
         def loss_fn(p):
+            if cast_dt is not None:
+                from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+                p = cast_floats(p, cast_dt)
             logits = self.model.apply(
                 p, batch, batch["target_shifted"], batch["padding_mask"],
                 deterministic=False, rngs={"dropout": rng})

@@ -62,7 +62,8 @@ class T5Trainer:
         self.logger = MetricLogger(config.get("log_dir", "result"),
                                    config.get("exp_name", "t5"))
         self.seed = config["seed"]
-        self.rng = jax.random.key(self.seed)
+        from mm_vqa_healthcare_tpu.train.trainer import make_train_key
+        self.rng = make_train_key(self.seed, config.get("rng_impl", "auto"))
         self.dm: Optional[MTDataModule] = None
         self.params = None
         self.opt_state = None
@@ -211,7 +212,14 @@ class T5Trainer:
 
     # ------------------------------------------------------------------ steps
     def _train_step_fn(self, params, opt_state, batch, rng):
+        _dt = self.config.get("compute_dtype", "float32")
+        cast_dt = (jnp.dtype(_dt) if _dt != "float32"
+                   and self.config.get("cast_params_once", True) else None)
+
         def loss_fn(p):
+            if cast_dt is not None:
+                from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+                p = cast_floats(p, cast_dt)
             logits = self.model.apply(
                 p, batch, batch["t5_labels"], rng=jax.random.fold_in(rng, 1),
                 deterministic=False, rngs={"dropout": rng})

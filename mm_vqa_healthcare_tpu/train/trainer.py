@@ -34,6 +34,25 @@ from mm_vqa_healthcare_tpu.utils.logging import MetricLogger
 from mm_vqa_healthcare_tpu.utils.text_metrics import TextMetrics
 
 
+def make_train_key(seed: int, rng_impl: str = "auto") -> jax.Array:
+    """Training PRNG key.  impl "auto" picks the hardware RBG generator on
+    TPU (threefry mask generation is a measurable slice of a dropout-heavy
+    step; rbg bits come from the core's PRNG at ~vector rate) and threefry
+    elsewhere (reproducible CPU goldens)."""
+    if rng_impl == "auto":
+        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    if rng_impl == "threefry":
+        rng_impl = "threefry2x32"
+    return jax.random.key(seed, impl=rng_impl)
+
+
+def cast_floats(tree, dtype):
+    """Cast float32 leaves to dtype (one-time per-step mixed-precision cast)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
+
+
 def prepare_vqa_arrays(batch: Dict[str, Any], label_size: int) -> Dict[str, np.ndarray]:
     """Host-side: densify vqa_labels/scores into [B, label_size] soft targets
     (reference objectives.py:188-197) + answer types + validity mask."""
@@ -75,7 +94,7 @@ class Trainer:
             f"{config.get('exp_name', 'exp')}-from_{from_name}",
             seed=config.get("seed", 0))
         self.seed = config["seed"]
-        self.rng = jax.random.key(self.seed)
+        self.rng = make_train_key(self.seed, config.get("rng_impl", "auto"))
         self.label2ans = self._load_label2ans()
         self.dm: Optional[MTDataModule] = None
         self.params = None
@@ -155,14 +174,29 @@ class Trainer:
                 out[key] = (x - mean) / std
         return out
 
+    @property
+    def _step_cast_dtype(self):
+        """compute_dtype if the one-time per-step param cast is on."""
+        dt = self.model_cfg.compute_dtype
+        if dt != "float32" and self.config.get("cast_params_once", True):
+            return jnp.dtype(dt)
+        return None
+
     def _train_step_fn(self, params, opt_state, batch, rng):
         import optax
         batch = self._device_prepare(batch)
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "mim": jax.random.fold_in(rng, 1),
                 "itm": jax.random.fold_in(rng, 2)}
+        cast_dt = self._step_cast_dtype
 
         def loss_fn(p):
+            # one-time bf16 cast: every downstream per-use astype becomes a
+            # no-op, the fwd/bwd GEMMs read half the HBM bytes, and grads
+            # flow back through the cast as fp32 (mixed-precision master
+            # params; losses are computed in fp32 in objectives.py)
+            if cast_dt is not None:
+                p = cast_floats(p, cast_dt)
             return objectives.compute_total_loss(
                 self.model, p, batch, rngs, self.config["loss_names"],
                 train=True)
@@ -177,6 +211,8 @@ class Trainer:
 
     def _eval_step_fn(self, params, batch):
         batch = self._device_prepare(batch)
+        if self._step_cast_dtype is not None:
+            params = cast_floats(params, self._step_cast_dtype)
         loss, aux = objectives.compute_total_loss(
             self.model, params, batch, rngs={"itm": jax.random.key(0)},
             loss_names=self.config["loss_names"], train=False)

@@ -1,25 +1,61 @@
 """Test configuration.
 
-Forces the CPU backend with 8 virtual devices BEFORE jax initializes, so
-multi-chip sharding is exercised on a simulated mesh (the TPU-native
-equivalent of testing multi-node without a cluster — SURVEY.md §4).  The
-axon TPU plugin is disabled by clearing PALLAS_AXON_POOL_IPS (its
-sitecustomize only registers when that is set).
+The suite runs on a CPU backend with 8 virtual devices, so multi-chip
+sharding is exercised on a simulated mesh (the TPU-native equivalent of
+testing multi-node without a cluster — SURVEY.md §4).
 
-Tests marked @pytest.mark.tpu are skipped here; they run on real hardware
-via bench.py / run_scripts.
+Bootstrap problem: the axon TPU plugin is registered by a sitecustomize
+on PYTHONPATH (/root/.axon_site) at *interpreter startup*, before this
+conftest runs, and the ambient env pins JAX_PLATFORMS=axon.  Clearing the
+env here is too late — jax already owns a 1-device TPU backend.  So when
+we detect the axon env (PALLAS_AXON_POOL_IPS set) we re-exec pytest in a
+scrubbed environment (sitecustomize no-ops when PALLAS_AXON_POOL_IPS is
+empty).  The re-exec happens in pytest_configure, after stopping pytest's
+global fd capture — otherwise the child inherits the redirected fds and
+its output vanishes.
+
+Escape hatch: MMVQA_TPU_TESTS=1 skips the re-exec so @pytest.mark.tpu
+tests run on the real axon backend (see run_scripts/test_tpu.sh).
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU_LANE = os.environ.get("MMVQA_TPU_TESTS") == "1"
+_NEEDS_REEXEC = (not _ON_TPU_LANE
+                 and os.environ.get("MMVQA_PYTEST_CHILD") != "1"
+                 and bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+
+if not _NEEDS_REEXEC and not _ON_TPU_LANE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    env = dict(os.environ)
+    env["MMVQA_PYTEST_CHILD"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    sys.stderr.write(
+        "[conftest] axon TPU plugin detected; re-exec'ing pytest on a "
+        "virtual 8-device CPU mesh\n")
+    sys.stderr.flush()
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
 
 
 def pytest_collection_modifyitems(config, items):
