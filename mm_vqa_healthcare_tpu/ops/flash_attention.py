@@ -4,24 +4,35 @@ Design notes (TPU-first, not a port — the reference computes attention with
 eager torch matmuls that materialize the [B,H,Sq,Sk] score tensor in HBM):
 
 The sequence lengths in this workload are short (text <= 64 tokens, image
-<= 577 patches @384/16, decoder <= 129): a full [Sq_pad, Sk_pad] score tile
-fits comfortably in VMEM (640 x 640 fp32 = 1.6 MB).  So instead of a
-streaming flash-attention with running max/denominator, the optimal kernel
-here is a *single-tile fused attention*: one grid step per (batch, head)
+<= 577 patches @384/16, decoder <= 129): a full [Sq, Sk] score tile fits in
+VMEM, so instead of a streaming flash-attention with running max/denominator
+the optimal kernel is a *single-tile fused attention*: each grid step
 computes QK^T, the masked softmax, and PV entirely in VMEM — scores never
-touch HBM in either the forward or the backward pass.  For longer sequences
-the wrapper falls back to blocking over the query axis (keys still fit).
+touch HBM in either direction.
+
+v2 (round 2, from the round-1 profile — pad/copy ops around the kernels
+were ~15% of the train step):
+  * NO host-side padding.  Blocks deliberately overrun the 577-length
+    arrays (Pallas tail-masks the reads/writes); key validity is enforced
+    in-kernel with an iota mask, and the backward additionally zeroes
+    overhanging query rows so OOB garbage cannot leak into dK/dV.
+  * Head-blocked grid: (batch, heads/hb) programs, hb chosen per shape as
+    the largest head-count whose fp32 score tile fits a VMEM budget
+    (12 heads/program for text-sized tiles, 2 for 577x640 image tiles).
+  * Dropout PRNG is seeded PER HEAD (not per program), so the mask is
+    bit-identical between forward and backward even when they pick
+    different hb.
 
 Numerics: scores/softmax in float32 (matches the reference's fp16-safe
-LayerNorm/softmax behavior), output cast back to the input dtype.
-
-The backward pass recomputes the probabilities (FLOPs are cheap next to the
-HBM traffic saved by not stashing [B,H,Sq,Sk] residuals).
+behavior), matmuls take native (bf16) operands with fp32 accumulation —
+full-rate MXU.  The backward recomputes probabilities (FLOPs are cheap next
+to the HBM traffic of stashing [B,H,Sq,Sk] residuals).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -31,18 +42,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 _LANE = 128
+_SUBLANE = 16
+# fp32 score-tile VMEM budgets (bytes); ~16 MB/core total, leave room for
+# operands + double buffering.  Backward keeps ~4 score-sized live tensors.
+_FWD_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 4 * 2 ** 20))
+_BWD_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET",
+                                       int(2.5 * 2 ** 20)))
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dropout_keep_mask(shape, rate):
-    """Deterministic per-program dropout keep-mask from the seeded PRNG.
-    The PRNG must have been seeded (same seed in fwd and bwd so the mask
-    reproduces exactly for the recompute-based backward).
+def _head_block(h: int, sq_b: int, sk_b: int, budget: int) -> int:
+    """Largest divisor of h whose fp32 score tile fits the budget."""
+    per = sq_b * sk_b * 4
+    for hb in range(h, 0, -1):
+        if h % hb == 0 and hb * per <= budget:
+            return hb
+    return 1
 
-    keep iff bits < (1-rate)*2^32 — chosen so the CPU TPU-interpreter
+
+def _dropout_keep_mask(shape, rate):
+    """keep iff bits < (1-rate)*2^32 — chosen so the CPU TPU-interpreter
     (whose prng stub returns zeros) degenerates to keep-all rather than
     drop-all; real-TPU bits are uniform, P(keep) = 1-rate."""
     bits = pltpu.prng_random_bits(shape)
@@ -52,205 +74,228 @@ def _dropout_keep_mask(shape, rate):
     return bits < threshold
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
-                     dropout_rate=0.0, seed_ref=None):
-    # matmuls take the native (bf16) operands with fp32 accumulation —
-    # full-rate MXU; softmax statistics stay fp32
-    q = q_ref[0, 0]                                # [Sq, D]
-    k = k_ref[0, 0]                                # [Sk, D]
-    v = v_ref[0, 0]                                # [Sk, D]
+def _per_head_keep(shape_hb, rate, seed_ref, num_heads, hb):
+    """[hb, SQ, SK] keep-mask, seeded per absolute head index so the mask
+    is invariant to the fwd/bwd head-block choice."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    keeps = []
+    for t in range(hb):
+        head = j * hb + t
+        pltpu.prng_seed(seed_ref[0], i * num_heads + head)
+        keeps.append(_dropout_keep_mask(shape_hb[1:], rate))
+    return jnp.stack(keeps, axis=0)
+
+
+def _row_valid(ref_block, n):
+    """[1, Sb, 1] validity mask for the (overrunning) sequence axis."""
+    return jax.lax.broadcasted_iota(
+        jnp.int32, (1, ref_block.shape[1], 1), 1) < n
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
+                     num_heads, hb, dropout_rate=0.0, seed_ref=None):
+    q = q_ref[0]                                   # [hb, SQb, D]
+    k = k_ref[0]                                   # [hb, SKb, D]
+    # OOB tail rows of V are garbage (can be NaN); 0-prob x NaN poisons the
+    # PV contraction, so zero them (K's tail only reaches masked scores)
+    v = jnp.where(_row_valid(v_ref[0], sk), v_ref[0], 0).astype(v_ref.dtype)
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [Sq, Sk] fp32
-    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale   # [hb, SQb, SKb] fp32
+    scores = scores + bias_ref[0].astype(jnp.float32)
+    # key-tail validity (blocks overrun the real Sk; OOB reads are garbage)
+    kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+    scores = jnp.where(kmask, scores, _NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / denom
     if dropout_rate > 0.0:
         # HF semantics: dropout on the attention probabilities
-        pltpu.prng_seed(
-            seed_ref[0],
-            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
-        keep = _dropout_keep_mask(probs.shape, dropout_rate)
+        keep = _per_head_keep(probs.shape, dropout_rate, seed_ref,
+                              num_heads, hb)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.dot(probs.astype(v.dtype), v,
-                  preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    out = jax.lax.dot_general(probs.astype(v.dtype), v,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale,
-                     dropout_rate=0.0, seed_ref=None):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+                     dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
+                     num_heads, hb, dropout_rate=0.0, seed_ref=None):
+    # OOB tail rows are garbage (can be NaN) and all of q/k/v/do feed
+    # contractions over the overrunning axis in the backward — zero them
+    # (0 x NaN = NaN would otherwise poison dQ/dK/dV)
+    qvalid = _row_valid(q_ref[0], sq)
+    kvalid = _row_valid(k_ref[0], sk)
+    q = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
+    k = jnp.where(kvalid, k_ref[0], 0).astype(k_ref.dtype)
+    v = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
+    do = jnp.where(qvalid, do_ref[0], 0).astype(do_ref.dtype)
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+    scores = scores + bias_ref[0].astype(jnp.float32)
+    kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+    scores = jnp.where(kmask, scores, _NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / denom                              # [Sq, Sk]
+    qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sq
+    probs = jnp.where(qmask, e / denom, 0.0)       # [hb, SQb, SKb]
     if dropout_rate > 0.0:
-        # regenerate the forward's exact keep-mask (same seed, same grid)
-        pltpu.prng_seed(
-            seed_ref[0],
-            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
-        keep = _dropout_keep_mask(probs.shape, dropout_rate)
+        keep = _per_head_keep(probs.shape, dropout_rate, seed_ref,
+                              num_heads, hb)
         inv = 1.0 / (1.0 - dropout_rate)
         probs_dropped = jnp.where(keep, probs * inv, 0.0)
     else:
         probs_dropped = probs
     # dV = D(P)^T dO
     dv = jax.lax.dot_general(probs_dropped.astype(do.dtype), do,
-                             (((0,), (0,)), ((), ())),
+                             (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     # dD(P) = dO V^T;  dP = mask/(1-p) * dD(P)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     if dropout_rate > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
-    # dS = P * (dP - rowsum(dP * P))  (fp32 statistics)
+    # dS = P * (dP - rowsum(dP * P))  (fp32 statistics; garbage rows -> 0)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    ds = jnp.where(qmask, ds, 0.0)
     ds_lp = ds.astype(k.dtype)
-    dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds_lp, q, (((0,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds_lp, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dk = jax.lax.dot_general(ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _pad_operands(q, k, v, bias):
-    """Pad Sq/Sk to lane multiples.  The bias keeps its broadcastable shape
-    (e.g. [B,1,1,Sk] key masks, [1,1,Sq,Sk] causal) — it is NOT
-    materialized to [B,H,Sq,Sk] (that would stream gigabytes of redundant
-    mask through HBM per call); broadcasting happens in-kernel in VMEM.
-    Padded key positions get -inf via bias padding along Sk."""
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
-    sq_p = _round_up(max(sq, 8), 8)
-    sk_p = _round_up(max(sk, _LANE), _LANE)
+def _norm_bias(bias, b, sq, sk):
+    """Normalize to a 4-D additive bias with a full-length key axis."""
     if bias is None:
         bias = jnp.zeros((1, 1, 1, sk), jnp.float32)
     bias = bias.astype(jnp.float32)
-    # normalize: broadcast the key axis (padding needs real entries there)
-    bias = jnp.broadcast_to(
-        bias, bias.shape[:3] + (sk,)) if bias.shape[3] != sk else bias
-    if sq_p != sq and bias.shape[2] != 1:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)),
-                       constant_values=_NEG_INF)
-    if sk_p != sk:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, sk_p - sk)),
-                       constant_values=_NEG_INF)
-    if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    return q, k, v, bias, sq, sk
+    if bias.shape[3] != sk:
+        bias = jnp.broadcast_to(bias, bias.shape[:3] + (sk,))
+    return bias
 
 
-def _specs(b, h, sq_p, sk_p, d, bias_shape):
-    qspec = pl.BlockSpec((1, 1, sq_p, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, sk_p, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM)
+def _bias_spec(bias_shape, sq_b, sk_b, hb):
+    """Block spec honoring broadcast (size-1) bias dims."""
     bb, bh, bq, _ = bias_shape
-    bspec = pl.BlockSpec(
-        (1, 1, bq, sk_p),
-        lambda i, j, _bb=bb, _bh=bh: (i if _bb > 1 else 0,
-                                      j if _bh > 1 else 0, 0, 0),
-        memory_space=pltpu.VMEM)
-    return qspec, kspec, bspec
+    block = (1, hb if bh > 1 else 1, sq_b if bq > 1 else 1, sk_b)
+
+    def index(i, j, _bb=bb, _bh=bh):
+        return (i if _bb > 1 else 0, j if _bh > 1 else 0, 0, 0)
+
+    return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
 
 
 def _seed_spec():
     return pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM)
 
 
-def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
+def _blocks(q, k):
     b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_b = _round_up(max(sq, 8), _SUBLANE)
+    sk_b = _round_up(max(sk, _LANE), _LANE)
+    return b, h, sq, sk, d, sq_b, sk_b
+
+
+def _qkv_specs(sq_b, sk_b, d, hb):
+    qspec = pl.BlockSpec((1, hb, sq_b, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, hb, sk_b, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec
+
+
+def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
+    b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = 1.0 / (d ** 0.5)
-    q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
-    sq_p, sk_p = q.shape[2], k.shape[2]
-    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d, bias.shape)
-    in_specs = [qspec, kspec, kspec, bspec]
+    hb = _head_block(h, sq_b, sk_b, _FWD_SCORE_BUDGET)
+    bias = _norm_bias(bias, b, sq, sk)
+    qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
+    in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
+    kw = dict(scale=scale, sk=sk, num_heads=h, hb=hb)
     extra = []
     if dropout_rate > 0.0:
         def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
             _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-                             scale=scale, dropout_rate=dropout_rate,
-                             seed_ref=seed_ref)
+                             dropout_rate=dropout_rate, seed_ref=seed_ref,
+                             **kw)
         in_specs.append(_seed_spec())
         extra = [seed.reshape(1).astype(jnp.int32)]
     else:
-        kernel = functools.partial(_attn_fwd_kernel, scale=scale)
+        kernel = functools.partial(_attn_fwd_kernel, **kw)
     if interpret and dropout_rate > 0.0:
         # plain interpret mode lacks pltpu PRNG primitives; use the TPU
         # interpreter which emulates them
         interpret = pltpu.InterpretParams()
-    # Collapse (1,1) leading block dims inside the kernel via ref[0,0].
     out = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // hb),
         in_specs=in_specs,
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * sk_p * d,
-            bytes_accessed=(2 * b * h * sq_p * d + 2 * b * h * sk_p * d
-                            + b * h * sq_p * sk_p) * 4,
-            transcendentals=b * h * sq_p * sk_p,
+            flops=4 * b * h * sq_b * sk_b * d,
+            bytes_accessed=(2 * b * h * sq_b * d
+                            + 2 * b * h * sk_b * d) * 2,
+            transcendentals=b * h * sq_b * sk_b,
         ),
         interpret=interpret,
     )(q, k, v, bias, *extra)
-    return out[:, :, :sq0, :]
+    return out
 
 
 def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
-    b, h, sq, d = q.shape
+    b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = 1.0 / (d ** 0.5)
-    q, k, v, bias, sq0, sk0 = _pad_operands(q, k, v, bias)
-    do = jnp.pad(do, ((0, 0), (0, 0), (0, q.shape[2] - sq0), (0, 0)))
-    sq_p, sk_p = q.shape[2], k.shape[2]
-    qspec, kspec, bspec = _specs(b, h, sq_p, sk_p, d, bias.shape)
-    in_specs = [qspec, kspec, kspec, bspec, qspec]
+    hb = _head_block(h, sq_b, sk_b, _BWD_SCORE_BUDGET)
+    bias = _norm_bias(bias, b, sq, sk)
+    qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
+    in_specs = [qspec, kspec, kspec,
+                _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
+    kw = dict(scale=scale, sq=sq, sk=sk, num_heads=h, hb=hb)
     extra = []
     if dropout_rate > 0.0:
         def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
                    dq_ref, dk_ref, dv_ref):
             _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                             dq_ref, dk_ref, dv_ref, scale=scale,
-                             dropout_rate=dropout_rate, seed_ref=seed_ref)
+                             dq_ref, dk_ref, dv_ref,
+                             dropout_rate=dropout_rate, seed_ref=seed_ref,
+                             **kw)
         in_specs.append(_seed_spec())
         extra = [seed.reshape(1).astype(jnp.int32)]
     else:
-        kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+        kernel = functools.partial(_attn_bwd_kernel, **kw)
     if interpret and dropout_rate > 0.0:
         interpret = pltpu.InterpretParams()
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // hb),
         in_specs=in_specs,
         out_specs=(qspec, kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=11 * b * h * sq_p * sk_p * d,
-            bytes_accessed=(4 * b * h * sq_p * d + 4 * b * h * sk_p * d
-                            + b * h * sq_p * sk_p) * 4,
-            transcendentals=b * h * sq_p * sk_p,
+            flops=11 * b * h * sq_b * sk_b * d,
+            bytes_accessed=(4 * b * h * sq_b * d
+                            + 4 * b * h * sk_b * d) * 2,
+            transcendentals=b * h * sq_b * sk_b,
         ),
         interpret=interpret,
     )(q, k, v, bias, do, *extra)
-    return dq[:, :, :sq0, :], dk[:, :, :sk0, :], dv[:, :, :sk0, :]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -24,7 +24,14 @@ class MetricLogger:
         self.log_dir = os.path.join(log_dir, self.run_name)
         os.makedirs(self.log_dir, exist_ok=True)
         self._fh = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        # TensorBoard event sink (reference main.py:32-34 logs TB+W&B);
+        # disable with MMVQA_NO_TENSORBOARD=1
         self._tb = None
+        if not os.environ.get("MMVQA_NO_TENSORBOARD"):
+            with contextlib.suppress(Exception):
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(self.log_dir, "tb"))
         self._wandb = None
         if os.environ.get("WANDB_API_KEY"):
             with contextlib.suppress(Exception):
@@ -39,11 +46,17 @@ class MetricLogger:
         short = ", ".join(f"{k}={_fmt(v)}" for k, v in metrics.items()
                           if isinstance(v, (int, float)))
         print(f"[{phase} step {step}] {short}")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{phase}/{k}", v, global_step=step)
         if self._wandb is not None:
             self._wandb.log({f"{phase}/{k}": v for k, v in metrics.items()},
                             step=step)
 
     def close(self):
+        if self._tb is not None:
+            self._tb.close()
         self._fh.close()
 
 
