@@ -43,20 +43,30 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _LANE = 128
 _SUBLANE = 16
-# fp32 score-tile VMEM budgets (bytes); ~16 MB/core total, leave room for
-# operands + double buffering.  Backward keeps ~4 score-sized live tensors.
-_FWD_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 4 * 2 ** 20))
-_BWD_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET",
-                                       int(2.5 * 2 ** 20)))
+# VMEM budgets (bytes) for the per-program working set; the core has
+# ~16 MB scoped VMEM, leave headroom for Mosaic internals.
+_FWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 12 * 2 ** 20))
+_BWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET", 10 * 2 ** 20))
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _head_block(h: int, sq_b: int, sk_b: int, budget: int) -> int:
-    """Largest divisor of h whose fp32 score tile fits the budget."""
-    per = sq_b * sk_b * 4
+def _head_block(h: int, sq_b: int, sk_b: int, d: int,
+                n_f32: int, op_mult: int, dropout: bool,
+                budget: int) -> int:
+    """Largest divisor of h whose per-program VMEM working set fits.
+
+    Counts: fp32 score-family buffers (n_f32 of them), the dropout
+    bits+mask, and the bf16 operand blocks — whose minor dim is
+    lane-PADDED by Mosaic (d=64 tiles occupy 128 lanes) and
+    double-buffered across grid steps (x2)."""
+    d_eff = _round_up(d, _LANE)
+    per = sq_b * sk_b * 4 * n_f32
+    if dropout:
+        per += sq_b * sk_b * 6          # uint32 bits + bool keep-ish
+    per += op_mult * (sq_b + sk_b) * d_eff * 2 * 2
     for hb in range(h, 0, -1):
         if h % hb == 0 and hb * per <= budget:
             return hb
@@ -218,7 +228,8 @@ def _qkv_specs(sq_b, sk_b, d, hb):
 def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = 1.0 / (d ** 0.5)
-    hb = _head_block(h, sq_b, sk_b, _FWD_SCORE_BUDGET)
+    hb = _head_block(h, sq_b, sk_b, d, n_f32=3, op_mult=2,
+                     dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
@@ -257,7 +268,8 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
 def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = 1.0 / (d ** 0.5)
-    hb = _head_block(h, sq_b, sk_b, _BWD_SCORE_BUDGET)
+    hb = _head_block(h, sq_b, sk_b, d, n_f32=5, op_mult=4,
+                     dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     in_specs = [qspec, kspec, kspec,

@@ -125,8 +125,44 @@ def _install_reference_stubs():
     def _to_2tuple(x):
         return x if isinstance(x, tuple) else (x, x)
 
+    class _PatchEmbed(nn.Module):
+        """timm PatchEmbed (conv proj + flatten + optional norm) — real
+        implementation so the vendored swin is instantiable as an oracle."""
+
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None, flatten=True):
+            super().__init__()
+            img_size = _to_2tuple(img_size)
+            patch_size = _to_2tuple(patch_size)
+            self.img_size = img_size
+            self.patch_size = patch_size
+            self.grid_size = (img_size[0] // patch_size[0],
+                              img_size[1] // patch_size[1])
+            self.num_patches = self.grid_size[0] * self.grid_size[1]
+            self.proj = nn.Conv2d(in_chans, embed_dim,
+                                  kernel_size=patch_size, stride=patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+        def forward(self, x):
+            x = self.proj(x).flatten(2).transpose(1, 2)
+            return self.norm(x)
+
+    class _Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, drop=0.0):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.drop = nn.Dropout(drop)
+            self.fc2 = nn.Linear(hidden_features, out_features)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
     _stub_module("timm.models.layers", Conv2dSame=nn.Conv2d, Linear=nn.Linear,
-                 PatchEmbed=object, Mlp=object, DropPath=_DropPath,
+                 PatchEmbed=_PatchEmbed, Mlp=_Mlp, DropPath=_DropPath,
                  to_2tuple=_to_2tuple,
                  trunc_normal_=torch.nn.init.trunc_normal_)
     _stub_module("timm.models.helpers",

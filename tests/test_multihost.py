@@ -1,0 +1,65 @@
+"""Two-process multi-host simulation (VERDICT r1 #7).
+
+Spawns 2 localhost CPU processes connected through
+jax.distributed.initialize and checks parallel/collectives.py (object
+all_gather, array all_gather, shared seed, barrier) plus the
+process-strided data loader: the two processes must see disjoint shards
+that together cover the dataset.  This is the TPU-native equivalent of the
+reference's num_nodes>1 DDP path (main.py:60-63, dist_utils.py:143-237).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+from tests.fixtures import make_vqa_fixture
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_collectives_and_strided_loader(tmp_path):
+    root = str(tmp_path)
+    make_vqa_fixture(root)
+    # fixture layout expected by the worker
+    assert os.path.isdir(os.path.join(root, "arrows"))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("MMVQA_PYTEST_CHILD", None)
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs, outs = [], []
+    for pid in range(2):
+        out = os.path.join(root, f"out{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), root, out],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=540)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    # both agreed on the seed
+    assert results[0]["seed"] == results[1]["seed"]
+    assert results[0]["gathered_pids"] == [0, 1]
+    # disjoint shards covering the dataset (8 train samples, stride 2)
+    t0, t1 = (set(r["texts"]) for r in results)
+    assert len(results[0]["texts"]) + len(results[1]["texts"]) == 8
+    assert not (t0 & t1), (t0, t1)
