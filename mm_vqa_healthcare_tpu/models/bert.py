@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from mm_vqa_healthcare_tpu.models.layers import Dense, LayerNorm, gelu_exact
 from mm_vqa_healthcare_tpu.ops.attention import (
-    dot_product_attention, merge_heads, split_heads)
+    dot_product_attention_packed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,17 +151,18 @@ class BertSelfAttention(nn.Module):
         d = hidden_states.shape[-1]
         kv_source = (encoder_hidden_states if encoder_hidden_states is not None
                      else hidden_states)
-        q = split_heads(Dense(d, name="query")(hidden_states), self.num_heads)
-        k = split_heads(Dense(d, name="key")(kv_source), self.num_heads)
-        v = split_heads(Dense(d, name="value")(kv_source), self.num_heads)
+        q = Dense(d, name="query")(hidden_states)
+        k = Dense(d, name="key")(kv_source)
+        v = Dense(d, name="value")(kv_source)
         rate = 0.0 if deterministic else self.attention_dropout
         rng = self.make_rng("dropout") if rate > 0.0 else None
         # HF-style dropout on the attention probabilities — fused in-kernel
         # on the pallas path (TPU PRNG), jax.random on the XLA path.
-        ctx = dot_product_attention(q, k, v, attention_bias,
-                                    impl=self.attention_impl,
-                                    dropout_rate=rate, dropout_rng=rng)
-        return merge_heads(ctx)
+        # Packed layout: heads are carved out of the lane dim in-kernel, so
+        # no [B,S,H,D]<->[B,H,S,D] relayouts hit HBM.
+        return dot_product_attention_packed(
+            q, k, v, self.num_heads, attention_bias,
+            impl=self.attention_impl, dropout_rate=rate, dropout_rng=rng)
 
 
 class BertSelfOutput(nn.Module):

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from mm_vqa_healthcare_tpu.ops.attention import (
-    dot_product_attention, merge_heads, split_heads)
+    dot_product_attention, dot_product_attention_packed, merge_heads,
+    split_heads)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -38,13 +39,20 @@ class LayerNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         import os
         orig_dtype = x.dtype
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         fast = os.environ.get("MMVQA_FAST_LN") == "1"
+        if (not fast and os.environ.get("MMVQA_FUSED_LN", "1") == "1"
+                and jax.default_backend() == "tpu"):
+            from mm_vqa_healthcare_tpu.ops import fused_norm
+            if fused_norm.supports(x.shape[-1]):
+                # single-pass pallas LN (identical fp32-stat numerics; the
+                # XLA lowering costs ~5x the HBM floor, PERF.md round 2)
+                return fused_norm.fused_layer_norm(x, scale, bias, self.eps)
         x32 = x if fast else x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         return (y * scale.astype(x32.dtype)
                 + bias.astype(x32.dtype)).astype(orig_dtype)
 
@@ -97,15 +105,17 @@ class MultiHeadAttention(nn.Module):
             # than three D×D ones
             qkv = jnp.dot(query, in_proj_w.astype(dtype)) \
                 + in_proj_b.astype(dtype)
-            q, k, v = (split_heads(t, self.num_heads)
-                       for t in jnp.split(qkv, 3, axis=-1))
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
         else:
             wq, wk, wv = jnp.split(in_proj_w.astype(dtype), 3, axis=1)
             bq, bk, bv = jnp.split(in_proj_b.astype(dtype), 3)
-            q = split_heads(jnp.dot(query, wq) + bq, self.num_heads)
-            k = split_heads(jnp.dot(key, wk) + bk, self.num_heads)
-            v = split_heads(jnp.dot(value, wv) + bv, self.num_heads)
+            qp = jnp.dot(query, wq) + bq
+            kp = jnp.dot(key, wk) + bk
+            vp = jnp.dot(value, wv) + bv
         if cache is not None:
+            q = split_heads(qp, self.num_heads)
+            k = split_heads(kp, self.num_heads)
+            v = split_heads(vp, self.num_heads)
             # Incremental decode: q is one position; k/v update a fixed-size
             # cache at cache_index and attend over positions <= cache_index.
             k = jax.lax.dynamic_update_slice(
@@ -120,6 +130,8 @@ class MultiHeadAttention(nn.Module):
             return out, {"k": k, "v": v}
         rate = 0.0 if deterministic else self.dropout_rate
         rng = self.make_rng("dropout") if rate > 0.0 else None
-        ctx = dot_product_attention(q, k, v, bias, impl=self.attention_impl,
-                                    dropout_rate=rate, dropout_rng=rng)
-        return Dense(d, name="out_proj")(merge_heads(ctx))
+        # packed layout: no head-split relayouts around the kernel
+        ctx = dot_product_attention_packed(
+            qp, kp, vp, self.num_heads, bias, impl=self.attention_impl,
+            dropout_rate=rate, dropout_rng=rng)
+        return Dense(d, name="out_proj")(ctx)

@@ -90,6 +90,39 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(q.dtype)
 
 
+def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                                 num_heads: int,
+                                 bias: Optional[jax.Array] = None,
+                                 impl: str = "auto",
+                                 dropout_rate: float = 0.0,
+                                 dropout_rng: Optional[jax.Array] = None
+                                 ) -> jax.Array:
+    """Attention on PACKED [B, S, H*D] operands (the projection layout).
+
+    On the pallas path this skips the [B,S,H,D]<->[B,H,S,D] relayouts
+    entirely (the head axis is carved out of the lane dim in-kernel); the
+    XLA path splits/merges heads and is numerically the same as
+    dot_product_attention.
+    """
+    if impl == "auto":
+        impl = _default_impl()
+    if impl == "pallas":
+        from mm_vqa_healthcare_tpu.ops.flash_attention import (
+            fused_attention_packed)
+        seed = None
+        if dropout_rate > 0.0:
+            seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+        return fused_attention_packed(q, k, v, num_heads, bias,
+                                      dropout_rate=dropout_rate,
+                                      dropout_seed=seed)
+    ctx = dot_product_attention(
+        split_heads(q, num_heads), split_heads(k, num_heads),
+        split_heads(v, num_heads), bias, impl=impl,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    return merge_heads(ctx)
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """[B, S, D] -> [B, H, S, D/H] (reference transpose_for_scores)."""
     b, s, d = x.shape

@@ -310,6 +310,270 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout kernels: q/k/v stay [B, S, H*D] (the projection output
+# layout) and the head axis is carved out of the LANE dimension by the
+# BlockSpec (hb*d = 128 lanes for the production head_dim=64 -> zero lane
+# padding).  This eliminates the [B,S,H,D]<->[B,H,S,D] relayout copies XLA
+# otherwise materializes around the custom call (~7 ms/step, PERF.md r2).
+# ---------------------------------------------------------------------------
+
+def _packed_row_valid(ref, n):
+    """[Sb, 1] validity mask for a packed (1, Sb, lanes) block."""
+    return jax.lax.broadcasted_iota(jnp.int32, (ref.shape[1], 1), 0) < n
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
+                       num_heads, hb, d, dropout_rate=0.0, seed_ref=None):
+    kvalid = _packed_row_valid(k_ref, sk)
+    q_all = q_ref[0]                               # [SQb, hb*d]
+    k_all = k_ref[0]                               # [SKb, hb*d]
+    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [SQb, SKb]
+        b = bias_ref[0]
+        scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+            jnp.float32)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
+        scores = jnp.where(kmask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
+            keep = _dropout_keep_mask(probs.shape, dropout_rate)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        out = jnp.dot(probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
+                       num_heads, hb, d, dropout_rate=0.0, seed_ref=None):
+    qvalid = _packed_row_valid(q_ref, sq)
+    kvalid = _packed_row_valid(k_ref, sk)
+    q_all = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
+    k_all = jnp.where(kvalid, k_ref[0], 0).astype(k_ref.dtype)
+    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
+    do_all = jnp.where(qvalid, do_ref[0], 0).astype(do_ref.dtype)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for t in range(hb):
+        sl = slice(t * d, (t + 1) * d)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        do = do_all[:, sl]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        b = bias_ref[0]
+        scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+            jnp.float32)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
+        scores = jnp.where(kmask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) < sq
+        probs = jnp.where(qmask, e / denom, 0.0)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
+            keep = _dropout_keep_mask(probs.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            probs_dropped = jnp.where(keep, probs * inv, 0.0)
+        else:
+            probs_dropped = probs
+        dv = jax.lax.dot_general(probs_dropped.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        ds = jnp.where(qmask, ds, 0.0)
+        ds_lp = ds.astype(k.dtype)
+        dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lp, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _packed_specs(sq_b, sk_b, d, hb):
+    qspec = pl.BlockSpec((1, sq_b, hb * d), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, sk_b, hb * d), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec
+
+
+def _packed_head_block(h: int, sq_b: int, sk_b: int, d: int,
+                       n_f32: int, op_mult: int, dropout: bool,
+                       budget: int) -> int:
+    """Packed layout: the operand lane width is hb*d (no per-head 128-pad),
+    so prefer the hb that lane-aligns (hb*d multiple of 128)."""
+    best = 1
+    for hb in range(h, 0, -1):
+        if h % hb:
+            continue
+        lane_w = _round_up(hb * d, _LANE)
+        per_prog = (hb * sq_b * sk_b * 4 * n_f32
+                    + (hb * sq_b * sk_b * 6 if dropout else 0)
+                    + op_mult * (sq_b + sk_b) * lane_w * 2 * 2)
+        if per_prog <= budget:
+            best = hb
+            break
+    return best
+
+
+def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
+    b, sq, dm = q.shape
+    sk = k.shape[1]
+    d = dm // num_heads
+    scale = 1.0 / (d ** 0.5)
+    sq_b = _round_up(max(sq, 8), _SUBLANE)
+    sk_b = _round_up(max(sk, _LANE), _LANE)
+    hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
+                            dropout=dropout_rate > 0.0,
+                            budget=_FWD_VMEM_BUDGET)
+    bias = _norm_bias(bias, b, sq, sk)
+    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
+    in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
+    kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d)
+    extra = []
+    if dropout_rate > 0.0:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
+            _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                               dropout_rate=dropout_rate, seed_ref=seed_ref,
+                               **kw)
+        in_specs.append(_seed_spec())
+        extra = [seed.reshape(1).astype(jnp.int32)]
+    else:
+        kernel = functools.partial(_packed_fwd_kernel, **kw)
+    if interpret and dropout_rate > 0.0:
+        interpret = pltpu.InterpretParams()
+    return pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hb),
+        in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, sq, dm), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * sq_b * sk_b * d,
+            bytes_accessed=(2 * b * sq_b + 2 * b * sk_b) * dm * 2,
+            transcendentals=b * num_heads * sq_b * sk_b,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, *extra)
+
+
+def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
+    b, sq, dm = q.shape
+    sk = k.shape[1]
+    d = dm // num_heads
+    scale = 1.0 / (d ** 0.5)
+    sq_b = _round_up(max(sq, 8), _SUBLANE)
+    sk_b = _round_up(max(sk, _LANE), _LANE)
+    hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
+                            dropout=dropout_rate > 0.0,
+                            budget=_BWD_VMEM_BUDGET)
+    bias = _norm_bias(bias, b, sq, sk)
+    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
+    in_specs = [qspec, kspec, kspec,
+                _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
+    kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d)
+    extra = []
+    if dropout_rate > 0.0:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
+                   dq_ref, dk_ref, dv_ref):
+            _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                               dq_ref, dk_ref, dv_ref,
+                               dropout_rate=dropout_rate, seed_ref=seed_ref,
+                               **kw)
+        in_specs.append(_seed_spec())
+        extra = [seed.reshape(1).astype(jnp.int32)]
+    else:
+        kernel = functools.partial(_packed_bwd_kernel, **kw)
+    if interpret and dropout_rate > 0.0:
+        interpret = pltpu.InterpretParams()
+    return pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hb),
+        in_specs=in_specs,
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sq, dm), q.dtype),
+            jax.ShapeDtypeStruct((b, sk, dm), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, dm), v.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * num_heads * sq_b * sk_b * d,
+            bytes_accessed=(4 * b * sq_b + 4 * b * sk_b) * dm * 2,
+            transcendentals=b * num_heads * sq_b * sk_b,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_attention_packed(q, k, v, bias, num_heads, interpret,
+                            dropout_rate, seed):
+    return _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate,
+                       seed)
+
+
+def _fused_attention_packed_fwd(q, k, v, bias, num_heads, interpret,
+                                dropout_rate, seed):
+    out = _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate,
+                      seed)
+    return out, (q, k, v, bias, seed)
+
+
+def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _packed_bwd(q, k, v, bias, g, num_heads, interpret,
+                             dropout_rate, seed)
+    return dq, dk, dv, None, None
+
+
+_fused_attention_packed.defvjp(_fused_attention_packed_fwd,
+                               _fused_attention_packed_bwd)
+
+
+def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           num_heads: int,
+                           bias: Optional[jax.Array] = None,
+                           interpret: Optional[bool] = None,
+                           dropout_rate: float = 0.0,
+                           dropout_seed: Optional[jax.Array] = None
+                           ) -> jax.Array:
+    """Fused attention on PACKED [B, S, H*D] operands (projection layout).
+
+    Numerically identical to fused_attention on the split layout —
+    including the per-head dropout streams — without the relayout copies.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_seed required when dropout_rate > 0")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    return _fused_attention_packed(q, k, v, bias, num_heads, interpret,
+                                   float(dropout_rate), dropout_seed)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused_attention(q, k, v, bias, interpret, dropout_rate, seed):
     return _fwd(q, k, v, bias, interpret, dropout_rate, seed)

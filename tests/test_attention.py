@@ -130,3 +130,76 @@ def test_kernel_dropout_statistics_tpu():
                           dropout_seed=seed)
     mean = float(jnp.mean(row))
     assert 0.8 < mean < 1.2
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernels ([B, S, H*D] operands, head axis in the lane dim)
+# ---------------------------------------------------------------------------
+
+def _packed_ref(q3, k3, v3, h, bias):
+    from mm_vqa_healthcare_tpu.ops.attention import merge_heads, split_heads
+    return merge_heads(_xla_attention(
+        split_heads(q3, h), split_heads(k3, h), split_heads(v3, h), bias))
+
+
+@pytest.mark.parametrize("sq,sk,h,d", [
+    (16, 16, 2, 64), (33, 129, 3, 64), (5, 577, 12, 64), (32, 577, 12, 64),
+    (16, 16, 2, 32),   # tiny_debug head_dim
+])
+def test_packed_matches_xla_forward(sq, sk, h, d):
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    b = 2
+    q3, k3, v3 = (_rand((b, s, h * d), i)
+                  for i, s in enumerate((sq, sk, sk)))
+    mask = (jax.random.uniform(jax.random.key(3), (b, sk)) > 0.3).astype(jnp.int32)
+    mask = mask.at[:, 0].set(1)
+    bias = extended_attention_mask(mask)
+    ref = _packed_ref(q3, k3, v3, h, bias)
+    out = fused_attention_packed(q3, k3, v3, h, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_backward_matches_xla():
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    b, s, h, d = 2, 37, 4, 64
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    bias = extended_attention_mask(jnp.ones((b, s), jnp.int32))
+    w = _rand((b, s, h * d), 9)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, h, bias,
+                                              interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_packed_ref(q, k, v, h, bias) * w)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q3, k3, v3)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, err_msg=f"d{name}")
+
+
+def test_packed_dropout_cpu_degenerate_and_grad():
+    """CPU TPU-interpreter PRNG stub -> keep-all: out == attn / (1-p);
+    backward runs and matches the same degenerate scaling."""
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    b, s, h, d = 1, 24, 2, 64
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    p = 0.25
+    out = fused_attention_packed(q3, k3, v3, h, None, interpret=True,
+                                 dropout_rate=p,
+                                 dropout_seed=jnp.int32(7))
+    ref = _packed_ref(q3, k3, v3, h, None) / (1 - p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss(q):
+        return jnp.sum(fused_attention_packed(
+            q, k3, v3, h, None, interpret=True, dropout_rate=p,
+            dropout_seed=jnp.int32(7)))
+    g = jax.grad(loss)(q3)
+    assert np.isfinite(np.asarray(g)).all()
