@@ -96,6 +96,16 @@ class BaseDataset:
                 self.index_mapper[i] = (i, None)
 
         self._image_cache: Optional[dict] = {} if cache_images else None
+        # Decoded-frame cache: this host decodes ~50 img/s PIL while one
+        # chip consumes 150+ train samples/s.  Randaug'd train tensors are
+        # uncacheable (fresh augmentation each epoch), but the decode —
+        # the expensive half of the pipeline — is deterministic, so cache
+        # the decoded PIL frames under a byte budget (all downstream PIL
+        # ops are functional: randaug/crop/resize/convert return copies).
+        self._decoded_cache: Optional[dict] = {} if cache_images else None
+        self._decoded_budget = int(os.environ.get(
+            "MMVQA_DECODE_CACHE_MB", "512")) * 2 ** 20
+        self._decoded_bytes = 0
 
     @property
     def corpus(self):
@@ -105,11 +115,20 @@ class BaseDataset:
         return len(self.index_mapper)
 
     def get_raw_image(self, index: int, image_key: str = "image") -> Image.Image:
-        index, _ = self.index_mapper[index]
-        image_bytes = io.BytesIO(self.table[image_key][index].as_py())
-        image_bytes.seek(0)
+        row, _ = self.index_mapper[index]
         mode = "RGBA" if self.clip_transform else "RGB"
-        return Image.open(image_bytes).convert(mode)
+        key = (image_key, row)
+        if self._decoded_cache is not None and key in self._decoded_cache:
+            return self._decoded_cache[key]
+        image_bytes = io.BytesIO(self.table[image_key][row].as_py())
+        image_bytes.seek(0)
+        image = Image.open(image_bytes).convert(mode)
+        if self._decoded_cache is not None:
+            nbytes = image.width * image.height * len(image.getbands())
+            if self._decoded_bytes + nbytes <= self._decoded_budget:
+                self._decoded_cache[key] = image
+                self._decoded_bytes += nbytes
+        return image
 
     def get_image(self, index: int, image_key: str = "image") -> dict:
         row = self.index_mapper[index][0]

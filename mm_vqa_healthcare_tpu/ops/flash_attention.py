@@ -422,20 +422,32 @@ def _packed_specs(sq_b, sk_b, d, hb):
 def _packed_head_block(h: int, sq_b: int, sk_b: int, d: int,
                        n_f32: int, op_mult: int, dropout: bool,
                        budget: int) -> int:
-    """Packed layout: the operand lane width is hb*d (no per-head 128-pad),
-    so prefer the hb that lane-aligns (hb*d multiple of 128)."""
-    best = 1
+    """Packed layout: the operand lane width is hb*d (no per-head 128-pad).
+
+    Mosaic requires lane-dim block sizes to be 128-multiples (or the full
+    array dim), so only lane-valid hb are candidates.  Returns 0 when no
+    lane-valid head block fits the VMEM budget — callers MUST fall back to
+    the split layout then (numerics are identical either way; dropout
+    streams are seeded per absolute head in both kernel families)."""
     for hb in range(h, 0, -1):
-        if h % hb:
+        if h % hb or (hb * d) % _LANE:
             continue
-        lane_w = _round_up(hb * d, _LANE)
         per_prog = (hb * sq_b * sk_b * 4 * n_f32
                     + (hb * sq_b * sk_b * 6 if dropout else 0)
-                    + op_mult * (sq_b + sk_b) * lane_w * 2 * 2)
+                    + op_mult * (sq_b + sk_b) * hb * d * 2 * 2)
         if per_prog <= budget:
-            best = hb
-            break
-    return best
+            return hb
+    return 0
+
+
+def _split_heads(x, h):
+    b, s, dm = x.shape
+    return x.reshape(b, s, h, dm // h).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
 def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
@@ -448,6 +460,7 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
                             dropout=dropout_rate > 0.0,
                             budget=_FWD_VMEM_BUDGET)
+    assert hb > 0, "packed fwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
     in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
@@ -489,6 +502,7 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
                             dropout=dropout_rate > 0.0,
                             budget=_BWD_VMEM_BUDGET)
+    assert hb > 0, "packed bwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
     in_specs = [qspec, kspec, kspec,
@@ -543,6 +557,25 @@ def _fused_attention_packed_fwd(q, k, v, bias, num_heads, interpret,
 
 def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, res, g):
     q, k, v, bias, seed = res
+    b, sq, dm = q.shape
+    sk = k.shape[1]
+    d = dm // num_heads
+    sq_b = _round_up(max(sq, 8), _SUBLANE)
+    sk_b = _round_up(max(sk, _LANE), _LANE)
+    hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
+                            dropout=dropout_rate > 0.0,
+                            budget=_BWD_VMEM_BUDGET)
+    if hb == 0:
+        # packed bwd working set doesn't fit VMEM (image-sized score tiles
+        # with dropout): run the split-layout backward — bit-identical
+        # (per-absolute-head dropout seeding), pays only relayout copies
+        dqs, dks, dvs = _bwd(_split_heads(q, num_heads),
+                             _split_heads(k, num_heads),
+                             _split_heads(v, num_heads), bias,
+                             _split_heads(g, num_heads), interpret,
+                             dropout_rate, seed)
+        return (_merge_heads(dqs), _merge_heads(dks), _merge_heads(dvs),
+                None, None)
     dq, dk, dv = _packed_bwd(q, k, v, bias, g, num_heads, interpret,
                              dropout_rate, seed)
     return dq, dk, dv, None, None
@@ -570,6 +603,18 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
         raise ValueError("dropout_seed required when dropout_rate > 0")
     if dropout_seed is None:
         dropout_seed = jnp.zeros((), jnp.int32)
+    d = q.shape[-1] // num_heads
+    sq_b = _round_up(max(q.shape[1], 8), _SUBLANE)
+    sk_b = _round_up(max(k.shape[1], _LANE), _LANE)
+    if _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
+                          dropout=dropout_rate > 0.0,
+                          budget=_FWD_VMEM_BUDGET) == 0:
+        # no lane-valid head block fits VMEM: split layout end to end
+        out = _fused_attention(
+            _split_heads(q, num_heads), _split_heads(k, num_heads),
+            _split_heads(v, num_heads), bias, interpret,
+            float(dropout_rate), dropout_seed)
+        return _merge_heads(out)
     return _fused_attention_packed(q, k, v, bias, num_heads, interpret,
                                    float(dropout_rate), dropout_seed)
 

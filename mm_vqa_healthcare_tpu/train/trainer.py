@@ -157,9 +157,14 @@ class Trainer:
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         grad_steps = max(1, cfg["batch_size"] // (per_dev * data_devices))
         self.grad_accum_steps = grad_steps
+        # fused flat-buffer AdamW only under pure DP (flat concat of
+        # TP-sharded leaves would force gathers)
+        fused_ok = (cfg.get("fused_optimizer", True)
+                    and self.mesh.devices.shape[1] == 1)
         self.tx, self.lr_fn = build_optimizer(
             cfg, self.params, self.model_cfg,
-            steps_per_epoch=steps_per_epoch, grad_accum_steps=grad_steps)
+            steps_per_epoch=steps_per_epoch, grad_accum_steps=grad_steps,
+            fused=fused_ok)
         self.opt_state = jax.jit(self.tx.init)(self.params)
 
     # ------------------------------------------------------------ jitted steps
@@ -202,8 +207,11 @@ class Trainer:
                 train=True)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if hasattr(self.tx, "update_fused"):
+            params, opt_state = self.tx.update_fused(grads, opt_state, params)
+        else:
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         aux = {k: v for k, v in aux.items()
                if not isinstance(v, jax.Array) or v.ndim == 0}
         aux["loss"] = loss

@@ -203,3 +203,62 @@ def test_packed_dropout_cpu_degenerate_and_grad():
             dropout_seed=jnp.int32(7)))
     g = jax.grad(loss)(q3)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_packed_head_block_lane_validity():
+    """Mosaic requires lane-dim block sizes to be 128-multiples: the packed
+    head-block chooser must never return a lane-invalid hb (regression:
+    image-sized 592x640 dropout tiles used to fall to hb=1 -> 64-lane block
+    -> TPU lowering error; the CPU interpreter doesn't enforce this)."""
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        _LANE, _SUBLANE, _round_up, _packed_head_block,
+        _FWD_VMEM_BUDGET, _BWD_VMEM_BUDGET)
+    # every (sq, sk, h, d, dropout) the model family actually runs
+    shapes = [(32, 32), (64, 64), (577, 577), (32, 577), (577, 32),
+              (129, 129), (129, 577), (325, 325), (325, 64), (64, 325)]
+    for sq, sk in shapes:
+        for h, d in ((12, 64), (8, 64), (2, 32), (16, 64)):
+            sq_b = _round_up(max(sq, 8), _SUBLANE)
+            sk_b = _round_up(max(sk, _LANE), _LANE)
+            for dropout in (False, True):
+                for n_f32, op, budget in ((3, 2, _FWD_VMEM_BUDGET),
+                                          (5, 4, _BWD_VMEM_BUDGET)):
+                    hb = _packed_head_block(h, sq_b, sk_b, d, n_f32, op,
+                                            dropout, budget)
+                    assert hb == 0 or (hb * d) % _LANE == 0, \
+                        (sq, sk, h, d, dropout, hb)
+
+
+def test_packed_fallback_over_budget_matches_split():
+    """When no lane-valid head block fits VMEM (image self-attention with
+    dropout), fused_attention_packed must fall back to the split layout and
+    stay numerically identical — fwd and bwd (per-absolute-head dropout
+    seeding makes the mask layout-invariant)."""
+    from mm_vqa_healthcare_tpu.ops import flash_attention as fa
+    b, sq, h, d = 1, 40, 4, 64
+    q3, k3, v3 = (_rand((b, sq, h * d), i) for i in range(3))
+    bias = extended_attention_mask(jnp.ones((b, sq), jnp.int32))
+    w = _rand((b, sq, h * d), 9)
+    p = 0.25
+
+    def run():
+        def loss(q, k, v):
+            return jnp.sum(fa.fused_attention_packed(
+                q, k, v, h, bias, interpret=True, dropout_rate=p,
+                dropout_seed=jnp.int32(7)) * w)
+        val = loss(q3, k3, v3)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q3, k3, v3)
+        return jax.device_get((val, grads))
+
+    val_packed, g_packed = run()
+    # force the fallback by shrinking the budgets below any candidate
+    old = fa._FWD_VMEM_BUDGET, fa._BWD_VMEM_BUDGET
+    try:
+        fa._FWD_VMEM_BUDGET = fa._BWD_VMEM_BUDGET = 1
+        val_split, g_split = run()
+    finally:
+        fa._FWD_VMEM_BUDGET, fa._BWD_VMEM_BUDGET = old
+    np.testing.assert_allclose(val_packed, val_split, rtol=1e-5)
+    for a, b_, name in zip(g_packed, g_split, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, err_msg=f"d{name}")
