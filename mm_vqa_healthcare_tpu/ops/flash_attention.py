@@ -225,6 +225,12 @@ def _qkv_specs(sq_b, sk_b, d, hb):
     return qspec, kspec
 
 
+def _check_specs(*triples):
+    from mm_vqa_healthcare_tpu.ops.pallas_checks import check_block
+    for block, shape, what in triples:
+        check_block(block, shape, what)
+
+
 def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = 1.0 / (d ** 0.5)
@@ -232,6 +238,10 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
                      dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
+    _check_specs(((1, hb, sq_b, d), q.shape, "split q"),
+                 ((1, hb, sk_b, d), k.shape, "split k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                  bias.shape, "split bias"))
     in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
     kw = dict(scale=scale, sk=sk, num_heads=h, hb=hb)
     extra = []
@@ -272,6 +282,10 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
                      dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
+    _check_specs(((1, hb, sq_b, d), q.shape, "split bwd q"),
+                 ((1, hb, sk_b, d), k.shape, "split bwd k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                  bias.shape, "split bwd bias"))
     in_specs = [qspec, kspec, kspec,
                 _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
     kw = dict(scale=scale, sq=sq, sk=sk, num_heads=h, hb=hb)
@@ -463,6 +477,10 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
     assert hb > 0, "packed fwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
+    _check_specs(((1, sq_b, hb * d), q.shape, "packed q"),
+                 ((1, sk_b, hb * d), k.shape, "packed k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                  bias.shape, "packed bias"))
     in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
     kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d)
     extra = []
@@ -505,6 +523,10 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
     assert hb > 0, "packed bwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
+    _check_specs(((1, sq_b, hb * d), q.shape, "packed bwd q"),
+                 ((1, sk_b, hb * d), k.shape, "packed bwd k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                  bias.shape, "packed bwd bias"))
     in_specs = [qspec, kspec, kspec,
                 _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
     kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d)

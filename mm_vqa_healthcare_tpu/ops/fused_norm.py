@@ -61,13 +61,21 @@ def _ln_bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = rstd * (dxhat - m1 - xhat * m2)
     dx_ref[...] = dx.astype(dx_ref.dtype)
-    # per-block partial parameter grads (summed across blocks by XLA)
-    ds_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    # per-block partial parameter grads (summed across blocks by XLA).
+    # Partial rows are sublane-padded to 8 (Mosaic: block sublane dim must
+    # be a multiple of 8 or the full array dim) — row 0 carries the sum,
+    # rows 1..7 are zero.
+    pad = jnp.zeros((7, x.shape[1]), jnp.float32)
+    ds_ref[...] = jnp.concatenate(
+        [jnp.sum(dy * xhat, axis=0, keepdims=True), pad], axis=0)
+    db_ref[...] = jnp.concatenate(
+        [jnp.sum(dy, axis=0, keepdims=True), pad], axis=0)
 
 
 def _fwd(x2, scale, bias, eps, interpret):
+    from mm_vqa_healthcare_tpu.ops.pallas_checks import check_block
     n, d = x2.shape
+    check_block((_ROWS, d), (n, d), "ln fwd x")
     grid = (pl.cdiv(n, _ROWS),)
     return pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
@@ -86,8 +94,11 @@ def _fwd(x2, scale, bias, eps, interpret):
 
 
 def _bwd(x2, scale, dy2, eps, interpret):
+    from mm_vqa_healthcare_tpu.ops.pallas_checks import check_block
     n, d = x2.shape
     nblocks = pl.cdiv(n, _ROWS)
+    check_block((_ROWS, d), (n, d), "ln bwd x")
+    check_block((8, d), (nblocks * 8, d), "ln bwd partials")
     dx, ds_part, db_part = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps, n_rows=n),
         grid=(nblocks,),
@@ -101,13 +112,13 @@ def _bwd(x2, scale, dy2, eps, interpret):
         out_specs=(
             pl.BlockSpec((_ROWS, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, d), x2.dtype),
-            jax.ShapeDtypeStruct((nblocks, d), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks * 8, d), jnp.float32),
         ),
         interpret=interpret,
     )(x2, scale.reshape(1, d), dy2)

@@ -79,3 +79,37 @@ def test_fused_ln_bf16_grads_finite():
     g = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
     for a in g:
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def test_fused_ln_grads_multiblock_production_shape():
+    """16x577 rows = 19 row-blocks: exercises the sublane-padded partial
+    dscale/dbias outputs (regression: (1, d) partial blocks violated the
+    Mosaic 8-sublane rule and crashed only at TPU lowering)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(16, 577, 768)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=768), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=768), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(16, 577, 768)), jnp.float32)
+
+    def loss_fused(x, s, b):
+        return jnp.sum(fused_layer_norm(x, s, b, interpret=True) * w)
+
+    def loss_xla(x, s, b):
+        return jnp.sum(_xla_ln(x, s, b) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(1, 2))(x, scale, bias)
+    g_xla = jax.grad(loss_xla, argnums=(1, 2))(x, scale, bias)
+    for a, b_, name in zip(g_fused, g_xla, ("dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=5e-3, err_msg=name)
+
+
+def test_mosaic_block_checker():
+    from mm_vqa_healthcare_tpu.ops.pallas_checks import check_block
+    check_block((8, 768), (152, 768), "ok")
+    check_block((1, 768), (1, 768), "full-dim ok")
+    check_block((512, 768), (9232, 768), "ok")
+    with pytest.raises(ValueError):
+        check_block((1, 768), (19, 768), "sublane violation")
+    with pytest.raises(ValueError):
+        check_block((1, 592, 64), (16, 577, 768), "lane violation")
