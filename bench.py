@@ -60,6 +60,7 @@ def build(batch_size: int, dtype: str, mode: str):
         "drop_rate": float(os.environ.get("BENCH_DROP", "0.1")),
         "cast_params_once": os.environ.get("BENCH_CAST", "1") == "1",
         "remat": os.environ.get("BENCH_REMAT", "none"),
+        "fused_optimizer": os.environ.get("BENCH_FUSED_OPT", "1") == "1",
     }
     if mode == "pretrain":
         # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64

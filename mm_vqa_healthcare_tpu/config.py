@@ -163,6 +163,11 @@ def base_config() -> Dict[str, Any]:
         # the top of each jitted step (halves HBM weight traffic; grads and
         # the optimizer stay fp32).  No effect when compute_dtype=float32.
         cast_params_once=True,
+        # Fused flat-buffer AdamW (single multi-output fusion per labeled
+        # group instead of ~2000 per-leaf optax kernels).  Exact same math
+        # as the optax path (tests/test_optim_fused.py); only used when
+        # optim_type=adamw and grad_accum_steps=1.
+        fused_optimizer=True,
         # PRNG implementation for the training rng stream: "auto" (rbg on
         # TPU — hardware-accelerated bits, much cheaper dropout masks than
         # threefry — threefry elsewhere), "threefry", "rbg".

@@ -16,10 +16,16 @@ float32 regardless of input dtype (matches reference fp16-safe behavior).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Ablation knob: MMVQA_ATTN_PACKED=0 routes the packed entry points through
+# the split-layout [B,H,S,D] pallas kernels (numerically identical; the
+# packed path skips head-split relayouts but unrolls heads in-kernel).
+_PACKED_ENABLED = os.environ.get("MMVQA_ATTN_PACKED", "1") == "1"
 
 _NEG_INF = -1e30  # large-negative for masking; safe in float32 softmax
 
@@ -106,7 +112,7 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     if impl == "auto":
         impl = _default_impl()
-    if impl == "pallas":
+    if impl == "pallas" and _PACKED_ENABLED:
         from mm_vqa_healthcare_tpu.ops.flash_attention import (
             fused_attention_packed)
         seed = None

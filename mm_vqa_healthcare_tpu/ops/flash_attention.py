@@ -47,6 +47,7 @@ _SUBLANE = 16
 # ~16 MB scoped VMEM, leave headroom for Mosaic internals.
 _FWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 12 * 2 ** 20))
 _BWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET", 10 * 2 ** 20))
+_PACKED_PERHEAD = os.environ.get("MMVQA_ATTN_PACKED_PERHEAD", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -446,8 +447,13 @@ def _packed_head_block(h: int, sq_b: int, sk_b: int, d: int,
     for hb in range(h, 0, -1):
         if h % hb or (hb * d) % _LANE:
             continue
-        per_prog = (hb * sq_b * sk_b * 4 * n_f32
-                    + (hb * sq_b * sk_b * 6 if dropout else 0)
+        # The packed kernels loop over in-block heads, so with a
+        # liveness-reusing allocator the fp32 score family is live once,
+        # not hb times (MMVQA_ATTN_PACKED_PERHEAD=1 counts it that way —
+        # empirical knob; Mosaic errors at lowering if it doesn't fit).
+        mult = 1 if _PACKED_PERHEAD else hb
+        per_prog = (mult * sq_b * sk_b * 4 * n_f32
+                    + (mult * sq_b * sk_b * 6 if dropout else 0)
                     + op_mult * (sq_b + sk_b) * hb * d * 2 * 2)
         if per_prog <= budget:
             return hb
