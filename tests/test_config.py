@@ -64,3 +64,38 @@ def test_unknown_key_rejected():
         C.parse_cli(["not_a_key=3"])
     with pytest.raises(KeyError):
         C.parse_cli(["no_such_named_config"])
+
+
+def test_run_scripts_cli_lines_compose():
+    """Every run_scripts/*.sh CLI line parses through the sacred-compatible
+    grammar (closes the run-scripts coverage partial): extract the
+    `python main*.py with ...` invocation from each script, strip
+    shell continuations, and compose it.  Guards against a script drifting
+    from the config schema."""
+    import glob
+    import os
+    import re
+    import shlex
+
+    scripts = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "run_scripts", "*.sh")))
+    assert scripts
+    checked = 0
+    for path in scripts:
+        text = open(path).read()
+        # join continuation lines, then find python invocations
+        text = text.replace("\\\n", " ")
+        for line in text.splitlines():
+            m = re.match(r"\s*python\s+(main\S*\.py)\s+(.*)", line)
+            if not m:
+                continue
+            entry, rest = m.groups()
+            assert os.path.exists(os.path.join(
+                os.path.dirname(__file__), "..", entry)), entry
+            # drop env-var style tokens and comments
+            args = [a for a in shlex.split(rest.split("#")[0])
+                    if not a.startswith("$")]
+            cfg = C.parse_cli(args)
+            assert cfg["num_gpus"] >= 1
+            checked += 1
+    assert checked >= 6  # pretrain, finetune x3, test x2

@@ -88,3 +88,29 @@ def test_sincos_matches_reference_numpy():
         # the reference uses numpy<2 APIs removed since (np.float)
         pytest.skip("reference sincos needs numpy<2")
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_sincos_independent_formula():
+    """Numpy-2-proof parity check (the oracle test above skips when the
+    reference needs numpy<2): re-derive the MAE sincos table from the
+    formula (reference position_embeddings.py:21-68 — meshgrid(w, h),
+    grid[0] encodes the FIRST half of the channels, omega = 10000^-(2k/d))
+    and diff against our implementation."""
+    from mm_vqa_healthcare_tpu.models.position_embeddings import (
+        get_2d_sincos_pos_embed)
+
+    d, g = 16, 3
+    grid_w, grid_h = np.meshgrid(np.arange(g, dtype=np.float32),
+                                 np.arange(g, dtype=np.float32))
+
+    def one_d(dim, pos):
+        omega = 1.0 / 10000 ** (np.arange(dim // 2, dtype=np.float64)
+                                / (dim / 2.0))
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    expected = np.concatenate([one_d(d // 2, grid_w), one_d(d // 2, grid_h)],
+                              axis=1)
+    expected = np.concatenate([np.zeros((1, d)), expected], axis=0)
+    ours = get_2d_sincos_pos_embed(d, g, cls_token=True)
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-6)
