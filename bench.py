@@ -226,9 +226,13 @@ def bench_decode(batch_size: int, steps: int):
         "image": jnp.zeros((b, 384, 384, 3), jnp.float32),
     }
     t = model_cfg.max_answer_length - 1
+    # init at batch 1: params are batch-independent and the full-batch init
+    # HLO is a separate (huge) remote compile we don't need
+    batch1 = {k: v[:1] for k, v in batch.items()}
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "mim": jax.random.key(1)},
-        batch, jnp.zeros((b, t), jnp.int32), jnp.ones((b, t), jnp.int32))
+        batch1, jnp.zeros((1, t), jnp.int32), jnp.ones((1, t), jnp.int32))
+    print("bench_decode: init done", flush=True)
     decoder = Decoder(model_cfg.decoder)
     dec_params = {"params": params["params"]["decoder"]}
 
@@ -246,6 +250,7 @@ def bench_decode(batch_size: int, steps: int):
 
     out = decode(batch)
     jax.device_get(out)
+    print("bench_decode: warmup decode done", flush=True)
     t0 = time.perf_counter()
     carry = out
     for i in range(steps):

@@ -20,6 +20,7 @@ cross-row dscale/dbias sums (backward).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 512          # rows per grid step ([512, 768] fp32 = 1.5 MB)
 _LANE = 128
+# Ablation knob: MMVQA_FUSED_LN_BWD=0 keeps the pallas forward but computes
+# the backward with plain XLA ops (lets XLA fuse dy into adjacent work).
+_PALLAS_BWD = os.environ.get("MMVQA_FUSED_LN_BWD", "1") == "1"
 
 
 def _valid_rows(block_rows: int, n_rows: int):
@@ -134,9 +138,28 @@ def _fused_ln_fwd(x2, scale, bias, eps, interpret):
     return _fwd(x2, scale, bias, eps, interpret), (x2, scale)
 
 
+def _bwd_xla(x2, scale, dy2, eps):
+    """Same math as _ln_bwd_kernel, left to XLA to schedule/fuse."""
+    x = x2.astype(jnp.float32)
+    dy = dy2.astype(jnp.float32)
+    s = scale.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    dxhat = dy * s
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x2.dtype)
+    return dx, jnp.sum(dy * xhat, axis=0), jnp.sum(dy, axis=0)
+
+
 def _fused_ln_bwd(eps, interpret, res, dy2):
     x2, scale = res
-    dx, dscale, dbias = _bwd(x2, scale, dy2, eps, interpret)
+    if _PALLAS_BWD:
+        dx, dscale, dbias = _bwd(x2, scale, dy2, eps, interpret)
+    else:
+        dx, dscale, dbias = _bwd_xla(x2, scale, dy2, eps)
     return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 

@@ -16,3 +16,8 @@ run "fused-LN only"            MMVQA_FUSED_LN=1 BENCH_FUSED_OPT=0 MMVQA_ATTN_PAC
 run "fused-opt only"           MMVQA_FUSED_LN=0 BENCH_FUSED_OPT=1 MMVQA_ATTN_PACKED=0
 run "packed-attn only"         MMVQA_FUSED_LN=0 BENCH_FUSED_OPT=0 MMVQA_ATTN_PACKED=1
 echo "=== done ===" >> $LOG
+# decode retry (VERDICT #4): compiles ~20-30 min through the remote tunnel
+# (init-at-batch-1 + encode + per-token step HLOs), so give it an hour.
+echo "=== decode greedy (retry, 3600s) ===" >> $LOG
+BENCH_MODE=decode BENCH_STEPS=9 timeout 3600 python bench.py >> $LOG 2>&1
+echo "=== all done ===" >> $LOG
