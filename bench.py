@@ -176,6 +176,10 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
         "compute_dtype": dtype, "max_steps": 10000, "warmup_steps": 0,
         "num_workers": 0,
         "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
+        "fused_optimizer": os.environ.get("BENCH_FUSED_OPT", "1") == "1",
+        # device-side PIL-parity resize+crop (ops/device_resize.py): the
+        # host randaug runs on the cached decoded frame, geometry in-jit
+        "device_resize": os.environ.get("BENCH_DEVRESIZE", "0") == "1",
     })
     trainer = Trainer(cfg)
     trainer.setup_data()
@@ -278,7 +282,10 @@ def main():
             "unit": "samples/sec/chip",
             "vs_baseline": round(sps / jax.device_count() / baseline, 3),
             "detail": {"per_chip_batch": batch_size, "dtype": dtype,
-                       "image_size": 384, "pipeline": "arrow+jpeg+randaug",
+                       "image_size": 384,
+                       "pipeline": ("arrow+jpeg+randaug+device_resize"
+                                    if os.environ.get("BENCH_DEVRESIZE") == "1"
+                                    else "arrow+jpeg+randaug"),
                        "step_time_ms": round(step_s * 1000, 2),
                        "baseline_note": f"A6000 torch-eager estimate "
                                         f"{baseline} samples/s"},

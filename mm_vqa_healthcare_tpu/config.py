@@ -157,6 +157,18 @@ def base_config() -> Dict[str, Any]:
         # Run host-side PIL transforms (bicubic parity) vs fused device-side
         # resize+normalize inside the jitted step (faster, default on TPU).
         device_transforms=True,
+        # Run the PIL bicubic resize+crop ON DEVICE (ops/device_resize.py):
+        # the host ships cached decoded uint8 frames (padded to
+        # device_resize_cap) + a per-sample resample spec, and the jitted
+        # step does PIL-parity antialiased-bicubic geometry as MXU matmuls.
+        # Removes the dominant host cost (~12 ms/sample) from the input
+        # pipeline; off by default (parity runs use the host PIL path —
+        # device parity is within 1/255 per pixel, tests/test_device_resize).
+        device_resize=False,
+        # Frames larger than this are PIL-downscaled once (long edge -> cap)
+        # at decode time; also the static padded frame size shipped to
+        # the device.
+        device_resize_cap=512,
         # Remat (activation checkpointing) policy: "none" | "full".
         remat="none",
         # Mixed precision: cast fp32 master params to compute_dtype ONCE at
@@ -166,8 +178,12 @@ def base_config() -> Dict[str, Any]:
         # Fused flat-buffer AdamW (single multi-output fusion per labeled
         # group instead of ~2000 per-leaf optax kernels).  Exact same math
         # as the optax path (tests/test_optim_fused.py); only used when
-        # optim_type=adamw and grad_accum_steps=1.
-        fused_optimizer=True,
+        # optim_type=adamw and grad_accum_steps=1.  DEFAULT OFF: the
+        # round-2 TPU ablation measured the per-step grad/param
+        # concatenations costing more than the per-leaf kernels they
+        # replace (126.0 vs 141.3 samples/s) — XLA does not fuse the large
+        # concats into the update fusion (PERF.md round-2 ablation).
+        fused_optimizer=False,
         # PRNG implementation for the training rng stream: "auto" (rbg on
         # TPU — hardware-accelerated bits, much cheaper dropout masks than
         # threefry — threefry elsewhere), "threefry", "rbg".

@@ -45,6 +45,8 @@ class BaseDataset:
         image_only: bool = False,
         label_column_name: str = "",
         device_normalize: bool = False,
+        device_resize: bool = False,
+        device_resize_cap: int = 512,
         cache_images: bool = True,
     ):
         assert len(transform_keys) >= 1
@@ -61,7 +63,9 @@ class BaseDataset:
         if names and "train" not in names[0]:
             transform_keys = eval_transform_keys(transform_keys)
         self.transforms = keys_to_transforms(transform_keys, image_size,
-                                             device_normalize)
+                                             device_normalize,
+                                             device_resize,
+                                             device_resize_cap)
         self.clip_transform = any("clip" in k for k in transform_keys)
         self._rng = np.random.default_rng()
 

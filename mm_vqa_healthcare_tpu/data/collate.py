@@ -48,7 +48,14 @@ def collate(batch: List[dict], mlm_collator=None) -> Dict[str, object]:
         views = dict_batch[img_key]
         # each entry is a list of per-transform views; use view 0
         images = [v[0] if isinstance(v, list) else v for v in views]
-        dict_batch[img_key] = _stack_images(images)
+        if isinstance(images[0], tuple):
+            # device-resize mode: (padded uint8 frame, resample spec) —
+            # geometry runs in-jit (ops/device_resize.py)
+            dict_batch[img_key] = _stack_images([im for im, _ in images])
+            dict_batch[f"{img_key}_spec"] = np.stack(
+                [spec for _, spec in images])
+        else:
+            dict_batch[img_key] = _stack_images(images)
 
     txt_keys = [k for k in dict_batch if "text" in k]
     for txt_key in txt_keys:

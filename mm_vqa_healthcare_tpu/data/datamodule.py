@@ -89,6 +89,8 @@ class MTDataModule:
             image_only=cfg["image_only"],
             split=split,
             device_normalize=cfg.get("device_transforms", False),
+            device_resize=cfg.get("device_resize", False),
+            device_resize_cap=cfg.get("device_resize_cap", 512),
         )
         ds.tokenizer = self.tokenizer
         return ds

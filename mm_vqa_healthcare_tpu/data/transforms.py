@@ -59,11 +59,10 @@ def center_crop(image: Image.Image, size: int) -> Image.Image:
     return image.crop((left, top, left + size, top + size))
 
 
-def random_resized_crop(image: Image.Image, size: int,
-                        scale: Tuple[float, float],
-                        rng: np.random.Generator) -> Image.Image:
-    """torchvision RandomResizedCrop (ratio 3/4..4/3), bicubic."""
-    w, h = image.size
+def resized_crop_params(w: int, h: int, scale: Tuple[float, float],
+                        rng: np.random.Generator) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box draw (ratio 3/4..4/3):
+    (left, top, crop_w, crop_h)."""
     area = w * h
     for _ in range(10):
         target_area = area * rng.uniform(scale[0], scale[1])
@@ -74,8 +73,7 @@ def random_resized_crop(image: Image.Image, size: int,
         if 0 < cw <= w and 0 < ch <= h:
             left = int(rng.integers(0, w - cw + 1))
             top = int(rng.integers(0, h - ch + 1))
-            crop = image.crop((left, top, left + cw, top + ch))
-            return crop.resize((size, size), Image.BICUBIC)
+            return left, top, cw, ch
     # fallback: center crop
     in_ratio = w / h
     if in_ratio < 3 / 4:
@@ -84,9 +82,17 @@ def random_resized_crop(image: Image.Image, size: int,
         cw, ch = int(round(h * 4 / 3)), h
     else:
         cw, ch = w, h
-    left, top = (w - cw) // 2, (h - ch) // 2
-    return image.crop((left, top, left + cw, top + ch)).resize(
-        (size, size), Image.BICUBIC)
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def random_resized_crop(image: Image.Image, size: int,
+                        scale: Tuple[float, float],
+                        rng: np.random.Generator) -> Image.Image:
+    """torchvision RandomResizedCrop (ratio 3/4..4/3), bicubic."""
+    w, h = image.size
+    left, top, cw, ch = resized_crop_params(w, h, scale, rng)
+    crop = image.crop((left, top, left + cw, top + ch))
+    return crop.resize((size, size), Image.BICUBIC)
 
 
 @dataclasses.dataclass
@@ -99,10 +105,19 @@ class ImageTransform:
     randaug: bool = False
     resizedcrop: bool = False
     device_normalize: bool = False
+    # Move the PIL bicubic resize+crop (the dominant host cost, ~12 ms per
+    # sample on a 1-vCPU host) onto the device: emit the full decoded frame
+    # (uint8, zero-padded to device_resize_cap) plus a resample spec;
+    # ops/device_resize.py does PIL-parity geometry in-jit.  Frames larger
+    # than the cap are PIL-downscaled once (long edge -> cap) first.
+    device_resize: bool = False
+    device_resize_cap: int = 512
 
     def __call__(self, image: Image.Image,
-                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                 rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
+        if self.device_resize:
+            return self._device_geometry(image, rng)
         if self.randaug:
             from mm_vqa_healthcare_tpu.data.randaug import RandAugment
             image = RandAugment(2, 9)(image.convert("RGB"), rng)
@@ -119,6 +134,42 @@ class ImageTransform:
         out = (out - np.asarray(self.mean, np.float32)) / np.asarray(self.std, np.float32)
         return out
 
+    def _device_geometry(self, image: Image.Image,
+                         rng: np.random.Generator):
+        """(padded uint8 frame, resample spec float32[8]) — geometry runs
+        on device.  Spec layout: per axis (src_off, crop_off, scale,
+        src_size), y axis first (ops/device_resize.py)."""
+        cap = self.device_resize_cap
+        image = image.convert("RGB")
+        if max(image.size) > cap:
+            w, h = image.size
+            if w >= h:
+                nw, nh = cap, max(1, int(round(cap * h / w)))
+            else:
+                nh, nw = cap, max(1, int(round(cap * w / h)))
+            image = image.resize((nw, nh), Image.BICUBIC)
+        if self.randaug:
+            from mm_vqa_healthcare_tpu.data.randaug import RandAugment
+            image = RandAugment(2, 9)(image, rng)
+        w, h = image.size
+        size = self.size
+        if self.resizedcrop:
+            left, top, cw, ch = resized_crop_params(w, h, (0.9, 1.0), rng)
+            spec = np.asarray([top, 0.0, ch / size, ch,
+                               left, 0.0, cw / size, cw], np.float32)
+        else:
+            if w <= h:
+                ow, oh = size, max(1, int(round(size * h / w)))
+            else:
+                oh, ow = size, max(1, int(round(size * w / h)))
+            left = int(round((ow - size) / 2.0))
+            top = int(round((oh - size) / 2.0))
+            spec = np.asarray([0.0, top, h / oh, h,
+                               0.0, left, w / ow, w], np.float32)
+        frame = np.zeros((cap, cap, 3), np.uint8)
+        frame[:h, :w] = np.asarray(image, np.uint8)
+        return frame, spec
+
 
 _NORMS: Dict[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
     "clip": (CLIP_MEAN, CLIP_STD),
@@ -128,7 +179,9 @@ _NORMS: Dict[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
 
 
 def key_to_transform(key: str, size: int,
-                     device_normalize: bool = False) -> ImageTransform:
+                     device_normalize: bool = False,
+                     device_resize: bool = False,
+                     device_resize_cap: int = 512) -> ImageTransform:
     """Registry matching reference transforms/__init__.py:7-15 keys:
     clip, clip_randaug, clip_resizedcrop, imagenet, imagenet_randaug, vit,
     vit_randaug."""
@@ -141,11 +194,17 @@ def key_to_transform(key: str, size: int,
         randaug=key.endswith("_randaug"),
         resizedcrop=key.endswith("_resizedcrop"),
         device_normalize=device_normalize,
+        device_resize=device_resize,
+        device_resize_cap=device_resize_cap,
     )
 
 
-def keys_to_transforms(keys, size: int, device_normalize: bool = False):
-    return [key_to_transform(k, size, device_normalize) for k in keys]
+def keys_to_transforms(keys, size: int, device_normalize: bool = False,
+                       device_resize: bool = False,
+                       device_resize_cap: int = 512):
+    return [key_to_transform(k, size, device_normalize,
+                             device_resize, device_resize_cap)
+            for k in keys]
 
 
 def eval_transform_keys(keys):

@@ -42,12 +42,16 @@ class LayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         fast = os.environ.get("MMVQA_FAST_LN") == "1"
-        if (not fast and os.environ.get("MMVQA_FUSED_LN", "1") == "1"
+        if (not fast and os.environ.get("MMVQA_FUSED_LN", "0") == "1"
                 and jax.default_backend() == "tpu"):
             from mm_vqa_healthcare_tpu.ops import fused_norm
             if fused_norm.supports(x.shape[-1]):
-                # single-pass pallas LN (identical fp32-stat numerics; the
-                # XLA lowering costs ~5x the HBM floor, PERF.md round 2)
+                # single-pass pallas LN (identical fp32-stat numerics).
+                # DEFAULT OFF: the round-2 ablation measured it at -48
+                # samples/s on the train lane (92.8 vs 141.3 all-off) —
+                # the custom_vjp boundary blocks XLA fusion around all 36
+                # sites and costs far more than the LN convert chain it
+                # replaces (PERF.md round-2 ablation).
                 return fused_norm.fused_layer_norm(x, scale, bias, self.eps)
         x32 = x if fast else x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)

@@ -52,6 +52,13 @@ class DecoderTrainer:
         self._jitted: Dict[str, Any] = {}
         self.global_step = 0
         self.max_answer_length = 12  # reference DecoderModel default
+        from mm_vqa_healthcare_tpu.data.transforms import key_to_transform
+        tkey = config["val_transform_keys"][0]
+        tr = key_to_transform(
+            tkey.replace("_randaug", "").replace("_resizedcrop", ""),
+            config["image_size"])
+        self.image_mean = np.asarray(tr.mean, np.float32)
+        self.image_std = np.asarray(tr.std, np.float32)
 
     # --------------------------------------------------------------- plumbing
     def setup_data(self):
@@ -165,6 +172,9 @@ class DecoderTrainer:
 
     # ------------------------------------------------------------------ steps
     def _train_step_fn(self, params, opt_state, batch, rng):
+        from mm_vqa_healthcare_tpu.train.trainer import prepare_image_batch
+        batch = prepare_image_batch(batch, self.image_mean, self.image_std,
+                                    self.config["image_size"])
         pad_id = self.tokenizer.pad_token_id
         _dt = self.config.get("compute_dtype", "float32")
         cast_dt = (jnp.dtype(_dt) if _dt != "float32"
@@ -196,6 +206,9 @@ class DecoderTrainer:
                     eos_id=getattr(tok, "eos_token_id", None))
 
     def _decode_fn(self, params, batch):
+        from mm_vqa_healthcare_tpu.train.trainer import prepare_image_batch
+        batch = prepare_image_batch(batch, self.image_mean, self.image_std,
+                                    self.config["image_size"])
         enc = self.model.apply(params, batch, method=DecoderVQAModel.encode)
         decoder = Decoder(self.model_cfg.decoder)
         dec_params = {"params": params["params"]["decoder"]}
@@ -206,8 +219,14 @@ class DecoderTrainer:
         per-token step, loop on host — sidesteps while_loop compile
         pathologies on remote-compiled runtimes (PERF.md)."""
         from mm_vqa_healthcare_tpu.decode.greedy import greedy_search_host
-        encode = jax.jit(lambda p, b: self.model.apply(
-            p, b, method=DecoderVQAModel.encode))
+        from mm_vqa_healthcare_tpu.train.trainer import prepare_image_batch
+
+        def _enc(p, b):
+            b = prepare_image_batch(b, self.image_mean, self.image_std,
+                                    self.config["image_size"])
+            return self.model.apply(p, b, method=DecoderVQAModel.encode)
+
+        encode = jax.jit(_enc)
         jit_cache = {}
         decoder = Decoder(self.model_cfg.decoder)
 
@@ -234,7 +253,7 @@ class DecoderTrainer:
                         self.config.get("host_decode"):
                     # host loop outside jit; only the encoder is jitted
                     # (inside greedy_search_host the step fn is jitted)
-                    self._jitted[name] = self._decode_fn
+                    self._jitted[name] = self._host_decode_fn()
                 else:
                     self._jitted[name] = jax.jit(
                         self._decode_fn, in_shardings=(rep, data),

@@ -71,6 +71,13 @@ class T5Trainer:
         self.global_step = 0
         self.num_beams = 4
         self._t5_tokenizer = tokenizer
+        from mm_vqa_healthcare_tpu.data.transforms import key_to_transform
+        tkey = config["val_transform_keys"][0]
+        tr = key_to_transform(
+            tkey.replace("_randaug", "").replace("_resizedcrop", ""),
+            config["image_size"])
+        self.image_mean = np.asarray(tr.mean, np.float32)
+        self.image_std = np.asarray(tr.std, np.float32)
 
     # --------------------------------------------------------------- plumbing
     @property
@@ -212,6 +219,9 @@ class T5Trainer:
 
     # ------------------------------------------------------------------ steps
     def _train_step_fn(self, params, opt_state, batch, rng):
+        from mm_vqa_healthcare_tpu.train.trainer import prepare_image_batch
+        batch = prepare_image_batch(batch, self.image_mean, self.image_std,
+                                    self.config["image_size"])
         _dt = self.config.get("compute_dtype", "float32")
         cast_dt = (jnp.dtype(_dt) if _dt != "float32"
                    and self.config.get("cast_params_once", True) else None)
@@ -237,6 +247,9 @@ class T5Trainer:
         return params, opt_state, loss
 
     def _encode_fn(self, params, batch, rng):
+        from mm_vqa_healthcare_tpu.train.trainer import prepare_image_batch
+        batch = prepare_image_batch(batch, self.image_mean, self.image_std,
+                                    self.config["image_size"])
         return self.model.apply(params, batch, rng,
                                 method=T5VQAModel.encode)
 

@@ -53,6 +53,28 @@ def cast_floats(tree, dtype):
         if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
 
 
+def prepare_image_batch(batch, mean, std, image_size: int):
+    """In-jit device-side transform tail, shared by all trainers: uint8 ->
+    normalized float, plus PIL-parity resize+crop when the batch carries
+    `<key>_spec` resample specs (device_resize mode, ops/device_resize.py).
+    Float image batches (host-side transforms) pass through untouched."""
+    from mm_vqa_healthcare_tpu.ops.device_resize import resize_crop_batch
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+    out = dict(batch)
+    for key in list(out):
+        if not ("image" in key and not key.endswith("_spec")):
+            continue
+        if out[key].dtype == jnp.uint8:
+            spec = out.pop(f"{key}_spec", None)
+            if spec is not None:
+                x = resize_crop_batch(out[key], spec, image_size) / 255.0
+            else:
+                x = out[key].astype(jnp.float32) / 255.0
+            out[key] = (x - mean) / std
+    return out
+
+
 def prepare_vqa_arrays(batch: Dict[str, Any], label_size: int) -> Dict[str, np.ndarray]:
     """Host-side: densify vqa_labels/scores into [B, label_size] soft targets
     (reference objectives.py:188-197) + answer types + validity mask."""
@@ -169,15 +191,8 @@ class Trainer:
 
     # ------------------------------------------------------------ jitted steps
     def _device_prepare(self, batch):
-        """In-jit uint8 -> normalized float (device-side transform tail)."""
-        mean = jnp.asarray(self.image_mean)
-        std = jnp.asarray(self.image_std)
-        out = dict(batch)
-        for key in list(out):
-            if "image" in key and out[key].dtype == jnp.uint8:
-                x = out[key].astype(jnp.float32) / 255.0
-                out[key] = (x - mean) / std
-        return out
+        return prepare_image_batch(batch, self.image_mean, self.image_std,
+                                   self.config["image_size"])
 
     @property
     def _step_cast_dtype(self):
