@@ -1,0 +1,16 @@
+#!/bin/bash
+# Post-ablation defaults validation + device-resize realdata + profile.
+cd /root/repo
+LOG=.tpu_batch6.log
+: > $LOG
+run() {
+  echo "=== $1 ===" >> $LOG
+  shift
+  env "$@" BENCH_STEPS=20 timeout 2400 python bench.py >> $LOG 2>&1
+}
+run "train new-defaults (packed on, LN/opt off)" BENCH_MODE=train
+run "train perhead-packed"                       BENCH_MODE=train MMVQA_ATTN_PACKED_PERHEAD=1
+run "realdata device-resize"                     BENCH_MODE=realdata BENCH_DEVRESIZE=1
+run "realdata host-path control"                 BENCH_MODE=realdata
+run "train profile capture"                      BENCH_MODE=train MMVQA_PROFILE_DIR=/root/repo/.profiles/r2_train
+echo "=== done ===" >> $LOG
