@@ -152,3 +152,30 @@ def test_generative_trainers_normalize_uint8(tmp_path):
                              jax.random.key(0))
         losses[device_tf] = float(loss)
     assert np.isclose(losses[False], losses[True], rtol=1e-5), losses
+
+
+def test_classifier_trainer_device_resize_eval_parity(tmp_path):
+    """Full classifier Trainer with device_resize=True: eval loss matches
+    the host-PIL path within the documented 2/255-per-pixel tolerance."""
+    from tests import fixtures
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+
+    data_root, label2ans, vocab = fixtures.make_vqa_fixture(str(tmp_path))
+    losses = {}
+    for dev_resize in (False, True):
+        cfg = fixtures.tiny_config(data_root, vocab, label2ans,
+                                   device_transforms=True,
+                                   device_resize=dev_resize,
+                                   device_resize_cap=64)
+        tr = Trainer(cfg)
+        tr.setup_data()
+        tr.init_params()
+        batch = next(iter(tr.dm.val_loader()))
+        if dev_resize:
+            assert batch["image"].shape[1:] == (64, 64, 3)
+            assert "image_spec" in batch
+        dev = tr._device_batch(batch)
+        step = tr._get_jitted("eval")
+        aux = step(tr.params, dev)
+        losses[dev_resize] = float(aux["loss"])
+    assert np.isclose(losses[False], losses[True], rtol=2e-2), losses
