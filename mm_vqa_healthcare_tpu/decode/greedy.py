@@ -76,40 +76,64 @@ def _pad_after_first_terminator(out, sep_id, pad_id, eos_id):
 def greedy_search_host(decoder: Decoder, params, enc_feats: jax.Array,
                        cls_id: int, sep_id: int, pad_id: int,
                        eos_id: Optional[int] = None,
-                       jit_cache: Optional[dict] = None) -> jax.Array:
-    """Host-driven variant of `greedy_search`: a jitted per-token step with
-    the loop on host (identical tokens).  Useful on runtimes where
+                       jit_cache: Optional[dict] = None,
+                       chunk: Optional[int] = None) -> jax.Array:
+    """Host-driven variant of `greedy_search`: a jitted K-token scan chunk
+    with the loop on host (identical tokens).  Useful on runtimes where
     lax.while_loop compiles pathologically slowly (e.g. remote-compiled
-    tunnels); also what serving stacks typically do for early exit."""
+    tunnels); also what serving stacks typically do for early exit.
+
+    `chunk` tokens decode per host round trip (jitted lax.scan over the
+    cached decode step).  Early exit happens at chunk granularity — the
+    reference loop also over-decodes finished rows until ALL rows finish
+    and pads after the first terminator post-hoc (m3ae_decoder.py:149-181),
+    so outputs are token-identical for any chunk value.  On remote-executed
+    backends the per-round-trip latency dominates, so the default 16 is
+    ~16x fewer syncs than a per-token loop (MMVQA_DECODE_CHUNK overrides)."""
+    import os
     import numpy as np
     cfg = decoder.cfg
     b = enc_feats.shape[0]
     max_len = cfg.max_len
+    if chunk is None:
+        chunk = int(os.environ.get("MMVQA_DECODE_CHUNK", "16"))
+    chunk = max(1, min(chunk, max_len))
     if jit_cache is None:
         jit_cache = {}
-    if "step" not in jit_cache:
-        @jax.jit
-        def step(params, current, t, enc, cache):
-            logits, cache = decoder.apply(params, current, t, enc, cache,
-                                          method=Decoder.decode_step)
-            nxt = jnp.argmax(jax.nn.log_softmax(
-                logits.astype(jnp.float32), -1), -1).astype(jnp.int32)
-            return nxt, cache
-        jit_cache["step"] = step
-    step = functools.partial(jit_cache["step"], params)
-    cache = decoder.apply(params, b, enc_feats.dtype,
-                          method=Decoder.init_cache)
+    if ("chunk", chunk) not in jit_cache:
+        @functools.partial(jax.jit, static_argnums=5)
+        def step(params, current, t0, enc, cache, k):
+            def body(carry, i):
+                cur, cache = carry
+                logits, cache = decoder.apply(
+                    params, cur, t0 + i, enc, cache,
+                    method=Decoder.decode_step)
+                nxt = jnp.argmax(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), -1), -1).astype(jnp.int32)
+                return (nxt[:, None], cache), nxt
+
+            (_, cache), toks = jax.lax.scan(
+                body, (current, cache), jnp.arange(k, dtype=jnp.int32))
+            return toks.T, cache  # [b, k]
+        jit_cache[("chunk", chunk)] = step
+    if "init_cache" not in jit_cache:
+        jit_cache["init_cache"] = jax.jit(
+            lambda p: decoder.apply(p, b, enc_feats.dtype,
+                                    method=Decoder.init_cache))
+    step = jit_cache[("chunk", chunk)]
+    cache = jit_cache["init_cache"](params)
     tokens = np.full((b, max_len + 1), pad_id, np.int32)
     tokens[:, 0] = cls_id
     finished = np.zeros(b, bool)
-    for t in range(max_len):
-        nxt, cache = step(jnp.asarray(tokens[:, t:t + 1]),
-                          jnp.asarray(t, jnp.int32), enc_feats, cache)
-        nxt = np.asarray(jax.device_get(nxt))
-        tokens[:, t + 1] = nxt
-        finished |= (nxt == sep_id)
+    for t in range(0, max_len, chunk):
+        k = min(chunk, max_len - t)
+        toks, cache = step(params, jnp.asarray(tokens[:, t:t + 1]),
+                           jnp.asarray(t, jnp.int32), enc_feats, cache, k)
+        toks = np.asarray(jax.device_get(toks))
+        tokens[:, t + 1:t + 1 + k] = toks
+        finished |= (toks == sep_id).any(axis=1)
         if eos_id is not None:
-            finished |= (nxt == eos_id)
+            finished |= (toks == eos_id).any(axis=1)
         if finished.all():
             break
     out = jnp.asarray(tokens[:, 1:])

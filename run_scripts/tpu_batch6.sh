@@ -13,4 +13,7 @@ run "train perhead-packed"                       BENCH_MODE=train MMVQA_ATTN_PAC
 run "realdata device-resize"                     BENCH_MODE=realdata BENCH_DEVRESIZE=1
 run "realdata host-path control"                 BENCH_MODE=realdata
 run "train profile capture"                      BENCH_MODE=train MMVQA_PROFILE_DIR=/root/repo/.profiles/r2_train
+# decode with chunked host loop (16 tokens per round trip + jitted
+# init_cache): 8 syncs per answer batch instead of 128
+run "decode greedy chunked"                      BENCH_MODE=decode BENCH_STEPS=9
 echo "=== done ===" >> $LOG
