@@ -15,5 +15,7 @@ run "realdata host-path control"                 BENCH_MODE=realdata
 run "train profile capture"                      BENCH_MODE=train MMVQA_PROFILE_DIR=/root/repo/.profiles/r2_train
 # decode with chunked host loop (16 tokens per round trip + jitted
 # init_cache): 8 syncs per answer batch instead of 128
-run "decode greedy chunked"                      BENCH_MODE=decode BENCH_STEPS=9
+# batch 32 encode HLO reproducibly breaks the remote-compile tunnel
+# ("broken pipe", 3rd occurrence) — run decode at the eval batch size
+run "decode greedy chunked b16"                  BENCH_MODE=decode BENCH_STEPS=9 BENCH_BATCH=16
 echo "=== done ===" >> $LOG
