@@ -60,7 +60,9 @@ def build(batch_size: int, dtype: str, mode: str):
         "drop_rate": float(os.environ.get("BENCH_DROP", "0.1")),
         "cast_params_once": os.environ.get("BENCH_CAST", "1") == "1",
         "remat": os.environ.get("BENCH_REMAT", "none"),
-        "fused_optimizer": os.environ.get("BENCH_FUSED_OPT", "0") == "1",
+        "fused_optimizer": {"0": False, "1": True}.get(
+            os.environ.get("BENCH_FUSED_OPT", "0"),
+            os.environ.get("BENCH_FUSED_OPT", "0")),
     }
     if mode == "pretrain":
         # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64
@@ -176,7 +178,9 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
         "compute_dtype": dtype, "max_steps": 10000, "warmup_steps": 0,
         "num_workers": 0,
         "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
-        "fused_optimizer": os.environ.get("BENCH_FUSED_OPT", "0") == "1",
+        "fused_optimizer": {"0": False, "1": True}.get(
+            os.environ.get("BENCH_FUSED_OPT", "0"),
+            os.environ.get("BENCH_FUSED_OPT", "0")),
         # device-side PIL-parity resize+crop (ops/device_resize.py): the
         # host randaug runs on the cached decoded frame, geometry in-jit
         "device_resize": os.environ.get("BENCH_DEVRESIZE", "0") == "1",

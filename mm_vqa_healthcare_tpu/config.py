@@ -175,14 +175,14 @@ def base_config() -> Dict[str, Any]:
         # the top of each jitted step (halves HBM weight traffic; grads and
         # the optimizer stay fp32).  No effect when compute_dtype=float32.
         cast_params_once=True,
-        # Fused flat-buffer AdamW (single multi-output fusion per labeled
-        # group instead of ~2000 per-leaf optax kernels).  Exact same math
-        # as the optax path (tests/test_optim_fused.py); only used when
-        # optim_type=adamw and grad_accum_steps=1.  DEFAULT OFF: the
-        # round-2 TPU ablation measured the per-step grad/param
-        # concatenations costing more than the per-leaf kernels they
-        # replace (126.0 vs 141.3 samples/s) — XLA does not fuse the large
-        # concats into the update fusion (PERF.md round-2 ablation).
+        # Fused AdamW kernel choice (optim_type=adamw, grad_accum=1 only;
+        # exact optax math either way, tests/test_optim_fused.py):
+        #   False  -> optax.multi_transform chains (several HBM passes/leaf)
+        #   True   -> per-leaf single-fusion update (one pass over
+        #             g/m/v/p per leaf, no concats; works under TP)
+        #   "flat" -> flat-buffer variant — ablated at -15 samples/s (the
+        #             per-step concats don't fuse; PERF.md), kept for
+        #             re-evaluation on future XLA versions.
         fused_optimizer=False,
         # PRNG implementation for the training rng stream: "auto" (rbg on
         # TPU — hardware-accelerated bits, much cheaper dropout masks than

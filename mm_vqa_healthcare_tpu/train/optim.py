@@ -136,6 +136,79 @@ def _single_group(optim_type: str, schedule, weight_decay: float):
     raise ValueError(optim_type)
 
 
+class LeafFusedAdamW:
+    """AdamW with ONE multi-output elementwise fusion per leaf (TPU perf).
+
+    ``optax.multi_transform(adamw)`` lowers each leaf's update as a chain
+    of separate tree_maps (moments, bias correction, weight decay,
+    schedule scale, apply) — several HBM passes over every leaf.  Here the
+    whole update (new_p, new_mu, new_nu) is a single expression per leaf,
+    so XLA emits one fusion streaming g/m/v/p exactly once.  Unlike
+    ``FusedAdamW`` (flat buffers) there is NO per-step concatenation — the
+    round-2 ablation showed XLA does not fuse the big concats, and the
+    flat-master-params autodiff variant materializes a full-size padded
+    buffer per leaf in the backward (measured on the HLO), so per-leaf
+    fusion is the efficient formulation.
+
+    Numerics match ``optax.adamw`` bit-for-bit (same operand order, count+1
+    bias correction, schedule(count) pre-increment, decoupled weight decay
+    before the -lr scale) — tests/test_optim_fused.py.  Works under any
+    sharding (leaves keep their placement; no cross-leaf ops).
+    """
+
+    def __init__(self, schedules, wds, labels,
+                 b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8):
+        from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
+        self._schedules = schedules          # group -> schedule(count)->lr
+        self._wds = wds                      # group -> weight decay
+        self._labels = flatten(labels)       # leaf path -> group
+        self._b1, self._b2, self._eps = b1, b2, eps
+
+    @staticmethod
+    def _is_float(x):
+        return jnp.issubdtype(jnp.result_type(x), jnp.floating)
+
+    def init(self, params):
+        from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+        fp = flatten(params)
+        zeros = {k: jnp.zeros(v.shape, jnp.float32)
+                 for k, v in fp.items() if self._is_float(v)}
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": unflatten(zeros), "nu": unflatten(zeros)}
+
+    def update_fused(self, grads, state, params):
+        """(grads, state, params) -> (new_params, new_state)."""
+        from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+        count = state["count"]
+        count_inc = count + 1
+        t = count_inc.astype(jnp.float32)
+        bc1 = 1.0 - jnp.asarray(self._b1, jnp.float32) ** t
+        bc2 = 1.0 - jnp.asarray(self._b2, jnp.float32) ** t
+        lrs = {g: jnp.asarray(s(count), jnp.float32)
+               for g, s in self._schedules.items()}
+
+        fg, fp = flatten(grads), flatten(params)
+        fmu, fnu = flatten(state["mu"]), flatten(state["nu"])
+        new_p, new_mu, new_nu = dict(fp), {}, {}
+        for path, p in fp.items():
+            if path not in fmu:
+                continue
+            label = self._labels[path]
+            g32 = fg[path].astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            mu = (1.0 - self._b1) * g32 + self._b1 * fmu[path]
+            nu = (1.0 - self._b2) * (g32 * g32) + self._b2 * fnu[path]
+            u = (mu / bc1) / (jnp.sqrt(nu / bc2) + self._eps)
+            wd = self._wds[label]
+            if wd:
+                u = u + wd * p32
+            new_p[path] = (p32 - lrs[label] * u).astype(p.dtype)
+            new_mu[path], new_nu[path] = mu, nu
+        return unflatten(new_p), {"count": count_inc,
+                                  "mu": unflatten(new_mu),
+                                  "nu": unflatten(new_nu)}
+
+
 class FusedAdamW:
     """AdamW over per-group flat fp32 buffers (TPU perf).
 
@@ -255,7 +328,11 @@ def build_optimizer(config: Dict[str, Any], params, model_cfg,
                   "mm_nd": make_sched(lr * mult_mm)}
         wds = {"base": wd, "base_nd": 0.0, "head": wd, "head_nd": 0.0,
                "mm": wd, "mm_nd": 0.0}
-        return FusedAdamW(scheds, wds, labels), make_sched(lr)
+        if use_fused == "flat":
+            # flat-buffer variant: loses to per-leaf on this XLA version
+            # (PERF.md round-2 ablation); kept for re-evaluation
+            return FusedAdamW(scheds, wds, labels), make_sched(lr)
+        return LeafFusedAdamW(scheds, wds, labels), make_sched(lr)
     groups = {
         "base": _single_group(optim_type, make_sched(lr), wd),
         "base_nd": _single_group(optim_type, make_sched(lr), 0.0),

@@ -179,10 +179,12 @@ class Trainer:
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         grad_steps = max(1, cfg["batch_size"] // (per_dev * data_devices))
         self.grad_accum_steps = grad_steps
-        # fused flat-buffer AdamW only under pure DP (flat concat of
-        # TP-sharded leaves would force gathers)
-        fused_ok = (cfg.get("fused_optimizer", True)
-                    and self.mesh.devices.shape[1] == 1)
+        # "flat" (flat-buffer) only under pure DP (flat concat of
+        # TP-sharded leaves would force gathers); the per-leaf fused
+        # variant (True) keeps leaf placements and works under TP
+        fused_ok = cfg.get("fused_optimizer", True)
+        if fused_ok == "flat" and self.mesh.devices.shape[1] != 1:
+            fused_ok = True
         self.tx, self.lr_fn = build_optimizer(
             cfg, self.params, self.model_cfg,
             steps_per_epoch=steps_per_epoch, grad_accum_steps=grad_steps,

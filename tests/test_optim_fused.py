@@ -10,7 +10,7 @@ import optax
 import pytest
 
 from mm_vqa_healthcare_tpu.train.optim import (
-    FusedAdamW, warmup_polynomial_schedule)
+    FusedAdamW, LeafFusedAdamW, warmup_polynomial_schedule)
 
 
 def _tree(seed=0):
@@ -35,7 +35,8 @@ def _grads(params, seed):
         lambda x: jnp.asarray(rng.normal(size=x.shape), x.dtype), params)
 
 
-def test_fused_adamw_matches_optax_exactly():
+@pytest.mark.parametrize("cls", [FusedAdamW, LeafFusedAdamW])
+def test_fused_adamw_matches_optax_exactly(cls):
     params, labels = _tree()
     lr, wd, mh, mm = 1e-3, 0.01, 50.0, 5.0
     sched = lambda m: warmup_polynomial_schedule(lr * m, 2, 10)
@@ -43,7 +44,7 @@ def test_fused_adamw_matches_optax_exactly():
               "head_nd": sched(mh), "mm": sched(mm), "mm_nd": sched(mm)}
     wds = {"base": wd, "base_nd": 0.0, "head": wd, "head_nd": 0.0,
            "mm": wd, "mm_nd": 0.0}
-    fused = FusedAdamW(scheds, wds, labels)
+    fused = cls(scheds, wds, labels)
 
     mk_adamw = lambda s, w: optax.adamw(s, b1=0.9, b2=0.98, eps=1e-8,
                                         weight_decay=w)
@@ -67,12 +68,13 @@ def test_fused_adamw_matches_optax_exactly():
                                        err_msg=f"step {step} {path}")
 
 
-def test_fused_adamw_skips_non_float_leaves():
+@pytest.mark.parametrize("cls", [FusedAdamW, LeafFusedAdamW])
+def test_fused_adamw_skips_non_float_leaves(cls):
     params = {"w": jnp.ones((4, 4), jnp.float32),
               "steps": jnp.zeros((), jnp.int32)}
     labels = {"w": "base", "steps": "base"}
     sched = warmup_polynomial_schedule(1e-3, 0, 10)
-    fused = FusedAdamW({"base": sched}, {"base": 0.01}, labels)
+    fused = cls({"base": sched}, {"base": 0.01}, labels)
     state = fused.init(params)
     grads = {"w": jnp.ones((4, 4), jnp.float32),
              "steps": jnp.zeros((), jnp.int32)}
