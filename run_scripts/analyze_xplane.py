@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Summarize a jax.profiler xplane dump: per-op-family device time.
+
+Usage: python run_scripts/analyze_xplane.py <dir-or-.xplane.pb> [n_steps]
+
+Aggregates XLA-op events on the device plane(s) by fusion family so the
+per-step cost table in PERF.md can be regenerated after each perf change.
+"""
+
+import collections
+import glob
+import os
+import re
+import sys
+
+
+def load_xspace(path):
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from xprof.protobuf import xplane_pb2  # fallback location
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+FAMILIES = [
+    ("attention-kernel", re.compile(r"fused_attention|pallas|custom-call")),
+    ("gemm/conv", re.compile(r"^(%?)(dot|conv|gemm)|fusion.*dot|convolution")),
+    ("optimizer", re.compile(r"multiply_add|adam|update")),
+    ("layernorm", re.compile(r"reduce.*(add|mean)|norm")),
+    ("copy/layout", re.compile(r"copy|transpose|bitcast")),
+    ("convert/cast", re.compile(r"convert")),
+]
+
+
+def classify(name, metadata_name):
+    label = (metadata_name or name).lower()
+    for fam, pat in FAMILIES:
+        if pat.search(label):
+            return fam
+    return "other"
+
+
+def main():
+    target = sys.argv[1]
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if os.path.isdir(target):
+        pbs = sorted(glob.glob(os.path.join(
+            target, "**", "*.xplane.pb"), recursive=True))
+        target = pbs[-1]
+    print(f"# {target}")
+    xs = load_xspace(target)
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        # steps in the capture window -> per-step division
+        steps = next((len(l.events) for l in plane.lines
+                      if l.name == "Steps"), None)
+        div = n_steps or steps or 1
+        fam_tot = collections.Counter()
+        op_tot = collections.Counter()
+        async_ms = 0.0
+        total = 0.0
+        for line in plane.lines:
+            if line.name == "Async XLA Ops":
+                async_ms = sum(e.duration_ps for e in line.events) / 1e9
+                continue
+            if line.name != "XLA Ops":
+                continue  # Steps / XLA Modules double-count
+            for ev in line.events:
+                meta = ev_meta.get(ev.metadata_id)
+                name = meta.name if meta else str(ev.metadata_id)
+                dur = ev.duration_ps / 1e9  # ms
+                fam = classify(name, getattr(meta, "display_name", ""))
+                fam_tot[fam] += dur
+                op_tot[name] += dur
+                total += dur
+        if total == 0:
+            continue
+        print(f"\n== plane: {plane.name}  XLA-Ops total {total/div:.2f} ms"
+              f"/step over {div} steps; async-DMA line {async_ms/div:.2f}"
+              f" ms/step (overlapped)")
+        for fam, ms in fam_tot.most_common():
+            print(f"  {fam:20s} {ms/div:8.2f} ms  {100*ms/total:5.1f}%")
+        print("  -- top ops --")
+        for name, ms in op_tot.most_common(15):
+            print(f"  {ms/div:8.2f} ms  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
