@@ -61,16 +61,13 @@ def main():
         steps = next((len(l.events) for l in plane.lines
                       if l.name == "Steps"), None)
         div = n_steps or steps or 1
-        fam_tot = collections.Counter()
-        op_tot = collections.Counter()
-        async_ms = 0.0
-        total = 0.0
-        for line in plane.lines:
-            if line.name == "Async XLA Ops":
-                async_ms = sum(e.duration_ps for e in line.events) / 1e9
+        for lname in ("XLA Ops", "Async XLA Ops"):
+            line = next((l for l in plane.lines if l.name == lname), None)
+            if line is None:
                 continue
-            if line.name != "XLA Ops":
-                continue  # Steps / XLA Modules double-count
+            fam_tot = collections.Counter()
+            op_tot = collections.Counter()
+            total = 0.0
             for ev in line.events:
                 meta = ev_meta.get(ev.metadata_id)
                 name = meta.name if meta else str(ev.metadata_id)
@@ -79,16 +76,15 @@ def main():
                 fam_tot[fam] += dur
                 op_tot[name] += dur
                 total += dur
-        if total == 0:
-            continue
-        print(f"\n== plane: {plane.name}  XLA-Ops total {total/div:.2f} ms"
-              f"/step over {div} steps; async-DMA line {async_ms/div:.2f}"
-              f" ms/step (overlapped)")
-        for fam, ms in fam_tot.most_common():
-            print(f"  {fam:20s} {ms/div:8.2f} ms  {100*ms/total:5.1f}%")
-        print("  -- top ops --")
-        for name, ms in op_tot.most_common(15):
-            print(f"  {ms/div:8.2f} ms  {name[:90]}")
+            if total == 0:
+                continue
+            print(f"\n== {plane.name} / {lname}: {total/div:.2f} ms/step "
+                  f"over {div} steps (async events overlap each other)")
+            for fam, ms in fam_tot.most_common():
+                print(f"  {fam:20s} {ms/div:8.2f} ms  {100*ms/total:5.1f}%")
+            print("  -- top ops --")
+            for name, ms in op_tot.most_common(12):
+                print(f"  {ms/div:8.2f} ms  {name[:100]}")
 
 
 if __name__ == "__main__":
