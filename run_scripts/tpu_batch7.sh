@@ -8,12 +8,15 @@ LOG=.tpu_batch7.log
 run() {
   echo "=== $1 ===" >> $LOG
   shift
-  env "$@" BENCH_STEPS=20 timeout 2400 python bench.py >> $LOG 2>&1
+  env "$@" timeout 2400 python bench.py >> $LOG 2>&1
 }
-run "train base (optax, packed)"      BENCH_MODE=train
-run "train leaf-fused"                BENCH_MODE=train BENCH_FUSED_OPT=1
-run "train leaf-fused + perhead"      BENCH_MODE=train BENCH_FUSED_OPT=1 MMVQA_ATTN_PACKED_PERHEAD=1
-run "train perhead only"              BENCH_MODE=train MMVQA_ATTN_PACKED_PERHEAD=1
-run "eval base"                       BENCH_MODE=eval
-run "eval perhead"                    BENCH_MODE=eval MMVQA_ATTN_PACKED_PERHEAD=1
+# BENCH_STEPS=100: the profile showed steps run gapless on-device at
+# 99.3 ms while the 20-step window carried ~390 ms of fixed tunnel/dispatch
+# overhead (~19 ms/step); 100 steps amortize it to ~4 ms/step.
+run "train base (optax, packed)"      BENCH_MODE=train BENCH_STEPS=100
+run "train leaf-fused"                BENCH_MODE=train BENCH_STEPS=100 BENCH_FUSED_OPT=1
+run "train leaf-fused + perhead"      BENCH_MODE=train BENCH_STEPS=100 BENCH_FUSED_OPT=1 MMVQA_ATTN_PACKED_PERHEAD=1
+run "train perhead only"              BENCH_MODE=train BENCH_STEPS=100 MMVQA_ATTN_PACKED_PERHEAD=1
+run "eval base"                       BENCH_MODE=eval BENCH_STEPS=100
+run "eval perhead"                    BENCH_MODE=eval BENCH_STEPS=100 MMVQA_ATTN_PACKED_PERHEAD=1
 echo "=== done ===" >> $LOG
