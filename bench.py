@@ -15,7 +15,7 @@ A6000 fp16 ~155 TFLOPs peak at ~15-20% eager-torch MFU -> ~60 samples/s).
 Override with env A6000_BASELINE_SPS.
 
 Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
-(bfloat16|float32, default bfloat16), BENCH_STEPS (default 10),
+(bfloat16|float32, default bfloat16), BENCH_STEPS (default 100),
 BENCH_MODE (train|eval|pretrain|decode|realdata, default train), BENCH_ATTN
 (auto|pallas|xla), BENCH_DROP (attention dropout rate).  realdata runs the
 full arrow->JPEG-decode->randaug->collate->step pipeline at VQA-RAD scale
@@ -274,7 +274,11 @@ def bench_decode(batch_size: int, steps: int):
 def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    # default 100: device steps run gapless (~99 ms profiled) but each
+    # measurement window carries ~0.4 s of fixed dispatch/sync overhead
+    # through the remote-execution tunnel — 100 steps amortize it to
+    # ~4 ms/step (PERF.md round 2); decode/realdata override below.
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     mode = os.environ.get("BENCH_MODE", "train")
 
     if mode == "realdata":
@@ -297,7 +301,7 @@ def main():
         return
     if mode == "decode":
         batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-        aps, dt = bench_decode(batch_size, max(3, steps // 3))
+        aps, dt = bench_decode(batch_size, max(3, min(10, steps // 3)))
         baseline = float(os.environ.get("A6000_DECODE_APS", "40.0"))
         print(json.dumps({
             "metric": "vqa_rad_decoder_greedy_answers_per_sec_per_chip",

@@ -19,4 +19,8 @@ run "train leaf-fused + perhead"      BENCH_MODE=train BENCH_STEPS=100 BENCH_FUS
 run "train perhead only"              BENCH_MODE=train BENCH_STEPS=100 MMVQA_ATTN_PACKED_PERHEAD=1
 run "eval base"                       BENCH_MODE=eval BENCH_STEPS=100
 run "eval perhead"                    BENCH_MODE=eval BENCH_STEPS=100 MMVQA_ATTN_PACKED_PERHEAD=1
+# decode: the pallas-attention encode HLO reproducibly breaks the
+# remote-compile service (broken pipe, 3 attempts); XLA attention is
+# within 3% end-to-end at these sizes and compiles — measure with it.
+run "decode greedy xla-attn b16"      BENCH_MODE=decode BENCH_STEPS=9 BENCH_BATCH=16 BENCH_ATTN=xla
 echo "=== done ===" >> $LOG
