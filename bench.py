@@ -61,8 +61,8 @@ def build(batch_size: int, dtype: str, mode: str):
         "cast_params_once": os.environ.get("BENCH_CAST", "1") == "1",
         "remat": os.environ.get("BENCH_REMAT", "none"),
         "fused_optimizer": {"0": False, "1": True}.get(
-            os.environ.get("BENCH_FUSED_OPT", "0"),
-            os.environ.get("BENCH_FUSED_OPT", "0")),
+            os.environ.get("BENCH_FUSED_OPT", "1"),
+            os.environ.get("BENCH_FUSED_OPT", "1")),
     }
     if mode == "pretrain":
         # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64
@@ -179,8 +179,8 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
         "num_workers": 0,
         "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
         "fused_optimizer": {"0": False, "1": True}.get(
-            os.environ.get("BENCH_FUSED_OPT", "0"),
-            os.environ.get("BENCH_FUSED_OPT", "0")),
+            os.environ.get("BENCH_FUSED_OPT", "1"),
+            os.environ.get("BENCH_FUSED_OPT", "1")),
         # device-side PIL-parity resize+crop (ops/device_resize.py): the
         # host randaug runs on the cached decoded frame, geometry in-jit
         "device_resize": os.environ.get("BENCH_DEVRESIZE", "0") == "1",

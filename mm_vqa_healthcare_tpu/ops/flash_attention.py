@@ -47,7 +47,10 @@ _SUBLANE = 16
 # ~16 MB scoped VMEM, leave headroom for Mosaic internals.
 _FWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 12 * 2 ** 20))
 _BWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET", 10 * 2 ** 20))
-_PACKED_PERHEAD = os.environ.get("MMVQA_ATTN_PACKED_PERHEAD", "0") == "1"
+# Default ON (round-2 batch7: +9 samples/s train, +27 eval): Mosaic's
+# allocator reuses the per-head loop buffers, so the fp32 score family
+# is live once per program, letting image self-attention (dropout) pack.
+_PACKED_PERHEAD = os.environ.get("MMVQA_ATTN_PACKED_PERHEAD", "1") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
