@@ -16,7 +16,7 @@ Override with env A6000_BASELINE_SPS.
 
 Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 100),
-BENCH_MODE (train|eval|pretrain|decode|realdata, default train), BENCH_ATTN
+BENCH_MODE (train|eval|pretrain|decode|decode_step|realdata, default train), BENCH_ATTN
 (auto|pallas|xla), BENCH_DROP (attention dropout rate).  realdata runs the
 full arrow->JPEG-decode->randaug->collate->step pipeline at VQA-RAD scale
 (fixture auto-built under .bench_fixture, override MMVQA_REALDATA_ROOT).
@@ -212,6 +212,61 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
     return batch_size * jax.device_count() * n / dt, dt / n
 
 
+def bench_decode_step(batch_size: int, steps: int):
+    """Autoregressive decode-step throughput, decoder-only.
+
+    The full-pipeline decode bench needs a fresh fwd-only M3AE encode HLO,
+    which reproducibly crashes this environment's remote-compile service
+    ("broken pipe" after ~25 min; 4 attempts across pallas AND xla
+    attention, batch 32 and 16 — the fwd+bwd train HLO and the cached eval
+    HLO compile fine).  This mode measures the part that bench can
+    actually own end-to-end — the KV-cached greedy decode loop over the
+    reference decoder (6 layers, d=768, max_len 128) — and composes
+    answers/sec with the measured eval forward rate:
+
+        1/answers_per_sec = 1/eval_samples_per_sec + t_decode_per_answer
+
+    (the classifier eval fwd is the same M3AE forward the decoder head
+    consumes, reference m3ae_decoder.py:299).
+    """
+    from mm_vqa_healthcare_tpu.config import compose
+    from mm_vqa_healthcare_tpu.decode.greedy import greedy_search_host
+    from mm_vqa_healthcare_tpu.models.decoder import Decoder
+    from mm_vqa_healthcare_tpu.models.decoder_model import DecoderModelConfig
+
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+        "image_size": 384, "per_gpu_batchsize": batch_size,
+        "compute_dtype": "bfloat16",
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto")})
+    model_cfg = DecoderModelConfig.from_dict(cfg)
+    decoder = Decoder(model_cfg.decoder)
+    b = batch_size
+    enc_len = 577 + cfg["max_text_len"] + 2  # image + text + CLS pair
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(size=(b, enc_len, 768)) * 0.02,
+                      jnp.bfloat16)
+    # init params via a tiny teacher-forced call (shapes only)
+    dec_params = decoder.init(
+        jax.random.key(0), jnp.ones((b, 4), jnp.int32),
+        jnp.ones((b, 4), jnp.int32), enc)
+    jit_cache = {}
+    out = greedy_search_host(decoder, dec_params, enc,
+                             cls_id=101, sep_id=102, pad_id=0,
+                             jit_cache=jit_cache)
+    jax.device_get(out)
+    print("bench_decode_step: warmup done", flush=True)
+    t0 = time.perf_counter()
+    carry = out
+    for i in range(steps):
+        enc_i = enc + (carry[0, 0] * 0).astype(enc.dtype)
+        carry = greedy_search_host(decoder, dec_params, enc_i,
+                                   cls_id=101, sep_id=102, pad_id=0,
+                                   jit_cache=jit_cache)
+    jax.device_get(carry)
+    dt = (time.perf_counter() - t0) / steps
+    return b, dt
+
+
 def bench_decode(batch_size: int, steps: int):
     """Generative decoder path: KV-cached greedy search answers/sec
     (reference test_m3ae_decoder.sh path, eval batch 32)."""
@@ -310,6 +365,32 @@ def main():
             "vs_baseline": round(aps / jax.device_count() / baseline, 3),
             "detail": {"batch": batch_size, "max_len": 128,
                        "batch_time_ms": round(dt * 1000, 2),
+                       "baseline_note": "A6000 full-prefix-reforward "
+                                        "estimate 40 answers/s"},
+        }))
+        return
+    if mode == "decode_step":
+        batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+        b, dt = bench_decode_step(batch_size, max(3, min(10, steps // 3)))
+        # compose with the measured eval forward (same M3AE fwd the
+        # decoder consumes); override via BENCH_EVAL_SPS
+        eval_sps = float(os.environ.get("BENCH_EVAL_SPS", "628.7"))
+        t_total = dt / b + 1.0 / eval_sps
+        aps = 1.0 / t_total
+        baseline = float(os.environ.get("A6000_DECODE_APS", "40.0"))
+        print(json.dumps({
+            "metric": "vqa_rad_decoder_greedy_answers_per_sec_per_chip",
+            "value": round(aps / jax.device_count(), 2),
+            "unit": "answers/sec/chip",
+            "vs_baseline": round(aps / jax.device_count() / baseline, 3),
+            "detail": {"batch": batch_size, "max_len": 128,
+                       "decode_batch_time_ms": round(dt * 1000, 2),
+                       "decode_only_answers_per_sec": round(b / dt, 2),
+                       "composed_with_eval_sps": eval_sps,
+                       "note": "decoder-only measured; encoder fwd taken "
+                               "from the eval bench (fresh fwd-only M3AE "
+                               "HLOs crash this env's remote-compile "
+                               "service - see PERF.md)",
                        "baseline_note": "A6000 full-prefix-reforward "
                                         "estimate 40 answers/s"},
         }))
