@@ -88,9 +88,13 @@ def test_swin_base224_tower_parity(ref_swin_mod):
 
     tower, params, loaded = _my_swin_params(
         _prefixed_sd(ref), "swin_base_patch4_window7_224_in22k", 224)
-    # every vision tensor the model owns must have been converted
-    n_expected = sum(1 for k in ref.state_dict()
-                     if not k.startswith("head"))
+    # every vision PARAMETER must convert; attn_mask and
+    # relative_position_index are buffers the reference loader itself
+    # drops (swin_helpers.py:35-40) — our model precomputes them
+    n_expected = sum(
+        1 for k in ref.state_dict()
+        if not k.startswith("head")
+        and not k.endswith(("attn_mask", "relative_position_index")))
     assert len(loaded) == n_expected, (len(loaded), n_expected)
 
     out = tower.apply(params, jnp.asarray(np.transpose(img, (0, 2, 3, 1))))
@@ -106,8 +110,10 @@ def test_swin_224_to_384_window12_bootstrap(ref_swin_mod):
     sd = _prefixed_sd(ref)
     tower, params, loaded = _my_swin_params(
         sd, "swin_base_patch4_window12_384_in22k", 384)
-    n_expected = sum(1 for k in ref.state_dict()
-                     if not k.startswith("head"))
+    n_expected = sum(
+        1 for k in ref.state_dict()
+        if not k.startswith("head")
+        and not k.endswith(("attn_mask", "relative_position_index")))
     assert len(loaded) == n_expected, (len(loaded), n_expected)
 
     # table shapes actually re-interpolated
@@ -132,14 +138,16 @@ def test_relpos_reinterp_matches_reference_helper(ref_swin_mod):
     if fn is None:
         pytest.skip("reference helper not present")
     rng = np.random.default_rng(2)
-    table = rng.normal(size=(13 * 13, 4)).astype(np.float32)
+    # the reference helper EARLY-RETURNS unchanged when after==384
+    # (swin_helpers.py:20-21 quirk), so exercise the live re-interp
+    # direction: 384/window-12 tables (23x23) -> 224/window-7 (13x13)
+    table = rng.normal(size=(23 * 23, 4)).astype(np.float32)
     sd = {"vision_encoder.layers.0.blocks.0.attn."
           "relative_position_bias_table": torch.from_numpy(table.copy())}
-    # reference grids are size/32: before=224 -> 7, after=384 -> 12
-    ref_out = fn(dict(sd), before=224, after=384)
+    ref_out = fn(dict(sd), before=384, after=224)
     ref_table = list(ref_out.values())[0].numpy()
 
     from mm_vqa_healthcare_tpu.checkpoint.convert import _adapt_swin_relpos
-    mine = _adapt_swin_relpos(table, target_window=12)
+    mine = _adapt_swin_relpos(table, target_window=7)
     assert mine.shape == ref_table.shape
     np.testing.assert_allclose(mine, ref_table, atol=1e-4)
