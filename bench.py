@@ -327,7 +327,12 @@ def bench_decode(batch_size: int, steps: int):
 
 
 def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    mode_for_batch = os.environ.get("BENCH_MODE", "train")
+    # per-chip batch 32 amortizes the once-per-step optimizer on the train
+    # lane (174.3 vs 169.4 samples/s, batch9); eval peaks at 16 (628.7 vs
+    # 605 at 64)
+    default_batch = "32" if mode_for_batch == "train" else "16"
+    batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # default 100: device steps run gapless (~99 ms profiled) but each
     # measurement window carries ~0.4 s of fixed dispatch/sync overhead
