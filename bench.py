@@ -234,6 +234,10 @@ def bench_decode_step(batch_size: int, steps: int):
     from mm_vqa_healthcare_tpu.models.decoder import Decoder
     from mm_vqa_healthcare_tpu.models.decoder_model import DecoderModelConfig
 
+    # the bench decodes the full 128 tokens (random weights never emit
+    # SEP), so one round trip per batch is optimal; production decoding
+    # with ~3-token answers keeps the library default chunk of 16
+    os.environ.setdefault("MMVQA_DECODE_CHUNK", "128")
     cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
         "image_size": 384, "per_gpu_batchsize": batch_size,
         "compute_dtype": "bfloat16",
