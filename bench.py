@@ -454,7 +454,7 @@ def main():
             "devices": jax.device_count(),
             "per_chip_batch": batch_size,
             "dtype": dtype,
-            "image_size": 384,
+            "image_size": 288 if mode == "pretrain" else 384,
             "step_time_ms": round(1000 * dt / steps, 2),
             "baseline_note": f"A6000 torch-eager estimate {baseline} samples/s",
         },

@@ -12,6 +12,15 @@ from mm_vqa_healthcare_tpu.ops.attention import (
     extended_attention_mask)
 from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
 
+_ON_TPU = jax.default_backend() == "tpu"
+# On hardware, run the REAL Mosaic kernels in the parity tests (interpret
+# mode would emulate them as plain jax ops) and compute the XLA references
+# in true fp32 — the TPU default matmul precision is bf16-grade and shows
+# up as ~3e-3 reference error, not kernel error.
+_INTERP = not _ON_TPU
+if _ON_TPU:
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def _rand(shape, key):
     return jax.random.normal(jax.random.key(key), shape, jnp.float32)
@@ -25,7 +34,7 @@ def test_fused_matches_xla_forward(sq, sk):
     mask = mask.at[:, 0].set(1)  # at least one valid key
     bias = extended_attention_mask(mask)
     ref = _xla_attention(q, k, v, bias)
-    out = fused_attention(q, k, v, bias, interpret=True)
+    out = fused_attention(q, k, v, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -33,7 +42,7 @@ def test_fused_matches_xla_forward(sq, sk):
 def test_fused_matches_xla_no_bias():
     q, k, v = _rand((1, 2, 40, 32), 0), _rand((1, 2, 40, 32), 1), _rand((1, 2, 40, 32), 2)
     ref = _xla_attention(q, k, v, None)
-    out = fused_attention(q, k, v, None, interpret=True)
+    out = fused_attention(q, k, v, None, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
@@ -42,7 +51,7 @@ def test_fused_causal():
     q, k, v = _rand((1, 2, s, 32), 0), _rand((1, 2, s, 32), 1), _rand((1, 2, s, 32), 2)
     bias = causal_bias(s)
     ref = _xla_attention(q, k, v, bias)
-    out = fused_attention(q, k, v, bias, interpret=True)
+    out = fused_attention(q, k, v, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
@@ -57,7 +66,7 @@ def test_fused_backward_matches_xla():
         return jnp.sum(jnp.sin(_xla_attention(q, k, v, bias)))
 
     def loss_fused(q, k, v):
-        return jnp.sum(jnp.sin(fused_attention(q, k, v, bias, interpret=True)))
+        return jnp.sum(jnp.sin(fused_attention(q, k, v, bias, interpret=_INTERP)))
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
@@ -75,7 +84,7 @@ def test_dispatch_auto_off_tpu_uses_xla():
 
 def test_bf16_inputs():
     q, k, v = (_rand((1, 2, 16, 32), i).astype(jnp.bfloat16) for i in range(3))
-    out = fused_attention(q, k, v, None, interpret=True)
+    out = fused_attention(q, k, v, None, interpret=_INTERP)
     ref = _xla_attention(q, k, v, None)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -84,7 +93,7 @@ def test_bf16_inputs():
 
 def test_dropout_rate_zero_is_identity():
     q, k, v = (_rand((1, 2, 16, 32), i) for i in range(3))
-    a = fused_attention(q, k, v, None, interpret=True)
+    a = fused_attention(q, k, v, None, interpret=_INTERP)
     b = dot_product_attention(q, k, v, impl="xla", dropout_rate=0.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
@@ -156,7 +165,7 @@ def test_packed_matches_xla_forward(sq, sk, h, d):
     mask = mask.at[:, 0].set(1)
     bias = extended_attention_mask(mask)
     ref = _packed_ref(q3, k3, v3, h, bias)
-    out = fused_attention_packed(q3, k3, v3, h, bias, interpret=True)
+    out = fused_attention_packed(q3, k3, v3, h, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -171,7 +180,7 @@ def test_packed_backward_matches_xla():
 
     def loss_fused(q, k, v):
         return jnp.sum(fused_attention_packed(q, k, v, h, bias,
-                                              interpret=True) * w)
+                                              interpret=_INTERP) * w)
 
     def loss_ref(q, k, v):
         return jnp.sum(_packed_ref(q, k, v, h, bias) * w)
