@@ -16,10 +16,15 @@ _ON_TPU = jax.default_backend() == "tpu"
 # On hardware, run the REAL Mosaic kernels in the parity tests (interpret
 # mode would emulate them as plain jax ops) and compute the XLA references
 # in true fp32 — the TPU default matmul precision is bf16-grade and shows
-# up as ~3e-3 reference error, not kernel error.
+# up as ~3e-3 reference error, not kernel error.  The precision context
+# must be SCOPED to the reference (a module-wide setting leaks into the
+# pallas kernels' dot_generals and breaks Mosaic lowering: "Bad lhs type").
 _INTERP = not _ON_TPU
-if _ON_TPU:
-    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def _ref(fn, *args, **kwargs):
+    with jax.default_matmul_precision("highest"):
+        return fn(*args, **kwargs)
 
 
 def _rand(shape, key):
@@ -33,7 +38,7 @@ def test_fused_matches_xla_forward(sq, sk):
     mask = (jax.random.uniform(jax.random.key(3), (b, sk)) > 0.3).astype(jnp.int32)
     mask = mask.at[:, 0].set(1)  # at least one valid key
     bias = extended_attention_mask(mask)
-    ref = _xla_attention(q, k, v, bias)
+    ref = _ref(_xla_attention, q, k, v, bias)
     out = fused_attention(q, k, v, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
@@ -41,7 +46,7 @@ def test_fused_matches_xla_forward(sq, sk):
 
 def test_fused_matches_xla_no_bias():
     q, k, v = _rand((1, 2, 40, 32), 0), _rand((1, 2, 40, 32), 1), _rand((1, 2, 40, 32), 2)
-    ref = _xla_attention(q, k, v, None)
+    ref = _ref(_xla_attention, q, k, v, None)
     out = fused_attention(q, k, v, None, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -50,7 +55,7 @@ def test_fused_causal():
     s = 24
     q, k, v = _rand((1, 2, s, 32), 0), _rand((1, 2, s, 32), 1), _rand((1, 2, s, 32), 2)
     bias = causal_bias(s)
-    ref = _xla_attention(q, k, v, bias)
+    ref = _ref(_xla_attention, q, k, v, bias)
     out = fused_attention(q, k, v, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -63,7 +68,7 @@ def test_fused_backward_matches_xla():
     bias = extended_attention_mask(mask)
 
     def loss_ref(q, k, v):
-        return jnp.sum(jnp.sin(_xla_attention(q, k, v, bias)))
+        return jnp.sum(jnp.sin(_ref(_xla_attention, q, k, v, bias)))
 
     def loss_fused(q, k, v):
         return jnp.sum(jnp.sin(fused_attention(q, k, v, bias, interpret=_INTERP)))
@@ -78,14 +83,14 @@ def test_fused_backward_matches_xla():
 def test_dispatch_auto_off_tpu_uses_xla():
     q = _rand((1, 1, 4, 8), 0)
     out = dot_product_attention(q, q, q, impl="auto")
-    ref = _xla_attention(q, q, q, None)
+    ref = _ref(_xla_attention, q, q, q, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_bf16_inputs():
     q, k, v = (_rand((1, 2, 16, 32), i).astype(jnp.bfloat16) for i in range(3))
     out = fused_attention(q, k, v, None, interpret=_INTERP)
-    ref = _xla_attention(q, k, v, None)
+    ref = _ref(_xla_attention, q, k, v, None)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
@@ -107,7 +112,7 @@ def test_kernel_dropout_cpu_degenerate_and_grad():
     seed = jnp.asarray(1234, jnp.int32)
     out = fused_attention(q, k, v, None, interpret=True,
                           dropout_rate=0.5, dropout_seed=seed)
-    ref = _xla_attention(q, k, v, None)
+    ref = _ref(_xla_attention, q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref) / 0.5,
                                atol=1e-4)
 
@@ -164,7 +169,7 @@ def test_packed_matches_xla_forward(sq, sk, h, d):
     mask = (jax.random.uniform(jax.random.key(3), (b, sk)) > 0.3).astype(jnp.int32)
     mask = mask.at[:, 0].set(1)
     bias = extended_attention_mask(mask)
-    ref = _packed_ref(q3, k3, v3, h, bias)
+    ref = _ref(_packed_ref, q3, k3, v3, h, bias)
     out = fused_attention_packed(q3, k3, v3, h, bias, interpret=_INTERP)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
@@ -183,7 +188,7 @@ def test_packed_backward_matches_xla():
                                               interpret=_INTERP) * w)
 
     def loss_ref(q, k, v):
-        return jnp.sum(_packed_ref(q, k, v, h, bias) * w)
+        return jnp.sum(_ref(_packed_ref, q, k, v, h, bias) * w)
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q3, k3, v3)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
@@ -203,7 +208,7 @@ def test_packed_dropout_cpu_degenerate_and_grad():
     out = fused_attention_packed(q3, k3, v3, h, None, interpret=True,
                                  dropout_rate=p,
                                  dropout_seed=jnp.int32(7))
-    ref = _packed_ref(q3, k3, v3, h, None) / (1 - p)
+    ref = _ref(_packed_ref, q3, k3, v3, h, None) / (1 - p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
     def loss(q):
