@@ -303,8 +303,34 @@ def bench_decode(batch_size: int, steps: int):
     decoder = Decoder(model_cfg.decoder)
     dec_params = {"params": params["params"]["decoder"]}
 
-    encode = jax.jit(lambda batch: model.apply(
-        params, batch, method=DecoderVQAModel.encode))
+    if os.environ.get("BENCH_SPLIT_ENCODE", "1") == "1":
+        # Split-phase encode: three small XLA programs (text tower, vision
+        # tower, fusion) instead of one monolithic HLO — the monolithic
+        # fwd-only encode crashes this host's remote-compile service
+        # (NOTES_ROUND3.md #1); numerically identical (tests/test_golden.py).
+        from mm_vqa_healthcare_tpu.models.decoder_model import (
+            assemble_encoder_memory)
+        from mm_vqa_healthcare_tpu.models.m3ae import M3AE
+        m3ae = M3AE(model_cfg.m3ae)
+        m3ae_params = {"params": params["params"]["m3ae"]}
+        jit_text = jax.jit(lambda ids, masks: m3ae.apply(
+            m3ae_params, ids, masks, method=M3AE.infer_text))
+        jit_image = jax.jit(lambda img: m3ae.apply(
+            m3ae_params, img, method=M3AE.infer_image))
+
+        def _fuse(ut, ui, masks):
+            out = m3ae.apply(m3ae_params, ut, ui, masks,
+                             method=M3AE.infer_fuse)
+            return assemble_encoder_memory(out, model_cfg)
+        jit_fuse = jax.jit(_fuse)
+
+        def encode(batch):
+            ut = jit_text(batch["text_ids"], batch["text_masks"])
+            ui = jit_image(batch["image"])
+            return jit_fuse(ut, ui, batch["text_masks"])
+    else:
+        encode = jax.jit(lambda batch: model.apply(
+            params, batch, method=DecoderVQAModel.encode))
     jit_cache = {}
 
     # host-driven greedy: the while_loop path compiles pathologically

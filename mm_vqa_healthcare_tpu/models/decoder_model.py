@@ -52,6 +52,21 @@ class DecoderModelConfig:
         )
 
 
+def assemble_encoder_memory(out: Dict[str, jax.Array],
+                            cfg: "DecoderModelConfig") -> jax.Array:
+    """Build the decoder cross-attention memory from M3AE infer outputs
+    per the ``mm_encoder_inputs_*`` flags (m3ae_decoder.py:302-313).
+    Shared by DecoderVQAModel.encode and the split-phase serving path."""
+    feats = []
+    if cfg.include_imagetext_feats:
+        feats.append(out["multi_modal_image_feats"])
+        feats.append(out["multi_modal_text_feats"])
+    if cfg.include_cls_feats:
+        cls = out["multi_modal_cls_feats"]
+        feats.append(cls.reshape(cls.shape[0], 2, -1))
+    return jnp.concatenate(feats, axis=1)
+
+
 class DecoderVQAModel(nn.Module):
     cfg: DecoderModelConfig
 
@@ -63,14 +78,7 @@ class DecoderVQAModel(nn.Module):
                deterministic: bool = True) -> jax.Array:
         """Frozen-M3AE features -> decoder cross-attention memory."""
         out = self.m3ae.infer(batch, deterministic=deterministic)
-        feats = []
-        if self.cfg.include_imagetext_feats:
-            feats.append(out["multi_modal_image_feats"])
-            feats.append(out["multi_modal_text_feats"])
-        if self.cfg.include_cls_feats:
-            cls = out["multi_modal_cls_feats"]
-            feats.append(cls.reshape(cls.shape[0], 2, -1))
-        enc = jnp.concatenate(feats, axis=1)
+        enc = assemble_encoder_memory(out, self.cfg)
         # frozen backbone (m3ae_decoder.py:213-216)
         return jax.lax.stop_gradient(enc)
 

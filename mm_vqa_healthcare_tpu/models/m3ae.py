@@ -296,6 +296,68 @@ class M3AE(nn.Module):
             ret["text_labels"] = text_labels
         return ret
 
+    # -- split-phase encode (towers and fusion as separate jits) ------------
+    # Mirrors the reference's split-phase vision forward
+    # (clip_model.py:forward_pre/forward_post) at whole-model granularity:
+    # each phase compiles to a much smaller XLA program than the monolithic
+    # `infer`, which matters for remote-compilation limits and for
+    # cache-friendly serving (encode towers once, fuse many times).
+    # infer_text/infer_image/infer_fuse composed in order are numerically
+    # identical to `infer` (tested in tests/test_golden.py).
+    def infer_text(self, text_ids: jax.Array, text_masks: jax.Array,
+                   deterministic: bool = True) -> jax.Array:
+        """Text tower + projection (first half of `infer`'s text path)."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        ext_text_bias = extended_attention_mask(text_masks)
+        uni_text = self.language_encoder(text_ids, ext_text_bias,
+                                         deterministic=deterministic)
+        return self.multi_modal_language_proj(uni_text.astype(dtype))
+
+    def infer_image(self, img: jax.Array,
+                    deterministic: bool = True) -> jax.Array:
+        """Vision tower + projection (first half of `infer`'s image path)."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        uni_image = self.vision_encoder(img.astype(dtype))
+        return self.multi_modal_vision_proj(uni_image.astype(dtype))
+
+    def infer_fuse(self, uni_text: jax.Array, uni_image: jax.Array,
+                   text_masks: jax.Array,
+                   image_token_type_idx: int = 1,
+                   deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Modality-type embeddings + co-attention fusion + poolers
+        (second half of `infer`, m3ae_module.py:258-295)."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        ext_text_bias = extended_attention_mask(text_masks)
+        ext_image_bias = None  # image tokens are never padded (infer)
+
+        type_emb = self.modality_type_embeddings
+        uni_text = uni_text + type_emb(
+            jnp.zeros_like(text_masks, jnp.int32)).astype(dtype)
+        uni_image = uni_image + type_emb(jnp.full(
+            uni_image.shape[:2], image_token_type_idx, jnp.int32)).astype(dtype)
+
+        x, y = uni_text, uni_image
+        for layer_idx in range(cfg.num_top_layer):
+            x1 = self.multi_modal_language_layers[layer_idx](
+                x, y, ext_text_bias, ext_image_bias, deterministic)
+            y1 = self.multi_modal_vision_layers[layer_idx](
+                y, x, ext_image_bias, ext_text_bias, deterministic)
+            x, y = x1, y1
+
+        text_cls = self.multi_modal_language_pooler(x)
+        if cfg.is_clip:
+            image_cls = self.multi_modal_vision_pooler(y)
+        else:
+            avg = jnp.mean(y, axis=1, keepdims=True)
+            image_cls = self.multi_modal_vision_pooler(avg)
+        cls_feats = jnp.concatenate([text_cls, image_cls], axis=-1)
+        return {
+            "multi_modal_text_feats": x,
+            "multi_modal_image_feats": y,
+            "multi_modal_cls_feats": cls_feats,
+        }
+
     # -- heads as callable methods (for apply(..., method=...)) -------------
     def apply_vqa_head(self, cls_feats: jax.Array) -> jax.Array:
         return self.vqa_head(cls_feats)

@@ -81,6 +81,36 @@ def _compute_all():
 
 @pytest.mark.skipif(not os.path.isfile(GOLDEN),
                     reason="golden file not generated yet")
+def test_split_encode_matches_infer():
+    """infer_text/infer_image/infer_fuse composed == monolithic infer
+    (the split-phase serving/bench path must be numerically identical)."""
+    from mm_vqa_healthcare_tpu.models.m3ae import M3AE, M3AEConfig
+    cfg = M3AEConfig(vit="ViT-Tiny/16", image_size=32, patch_size=16,
+                     tokenizer="tiny-bert", vocab_size=200, hidden_size=64,
+                     num_heads=2, num_top_layer=2, input_image_embed_size=64,
+                     input_text_embed_size=64, vqa_label_size=7,
+                     attention_impl="xla")
+    model = M3AE(cfg)
+    rng = np.random.default_rng(3)
+    batch = {
+        "text_ids": jnp.asarray(rng.integers(0, 200, (2, 8)), jnp.int32),
+        "text_masks": jnp.asarray([[1] * 8, [1] * 6 + [0] * 2], jnp.int32),
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32),
+    }
+    params = model.init({"params": jax.random.key(0),
+                         "mim": jax.random.key(1)}, batch)
+    whole = model.apply(params, batch, method=M3AE.infer)
+    ut = model.apply(params, batch["text_ids"], batch["text_masks"],
+                     method=M3AE.infer_text)
+    ui = model.apply(params, batch["image"], method=M3AE.infer_image)
+    fused = model.apply(params, ut, ui, batch["text_masks"],
+                        method=M3AE.infer_fuse)
+    for key in ("multi_modal_text_feats", "multi_modal_image_feats",
+                "multi_modal_cls_feats"):
+        np.testing.assert_array_equal(np.asarray(fused[key]),
+                                      np.asarray(whole[key]), err_msg=key)
+
+
 def test_golden_values():
     golden = dict(np.load(GOLDEN))
     current = _compute_all()
