@@ -16,7 +16,7 @@ Override with env A6000_BASELINE_SPS.
 
 Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 100),
-BENCH_MODE (train|eval|pretrain|decode|decode_step|realdata, default train), BENCH_ATTN
+BENCH_MODE (train|eval|pretrain|decode|decode_step|t5_beam|realdata, default train), BENCH_ATTN
 (auto|pallas|xla), BENCH_DROP (attention dropout rate).  realdata runs the
 full arrow->JPEG-decode->randaug->collate->step pipeline at VQA-RAD scale
 (fixture auto-built under .bench_fixture, override MMVQA_REALDATA_ROOT).
@@ -356,6 +356,84 @@ def bench_decode(batch_size: int, steps: int):
     return b / dt, dt
 
 
+def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
+    """T5-head VQA generation: beam-`num_beams` answers/sec (reference
+    m3ae_t5_mm_encoder_input.py:207-227 / run_scripts/finetune_m3ae_t5.sh).
+    Split-phase encode (M3AE towers + soft-prompt/T5-encoder) keeps each
+    remote-compiled HLO small."""
+    from mm_vqa_healthcare_tpu.config import compose
+    from mm_vqa_healthcare_tpu.decode.beam import beam_search
+    from mm_vqa_healthcare_tpu.models.m3ae import M3AE
+    from mm_vqa_healthcare_tpu.models.t5 import T5, T5Config, T5_PRESETS
+    from mm_vqa_healthcare_tpu.models.t5_heads import (
+        T5HeadConfig, T5VQAModel)
+
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+        "image_size": 384, "per_gpu_batchsize": batch_size,
+        "compute_dtype": "bfloat16",
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto")})
+    t5_cfg = T5_PRESETS.get(
+        os.environ.get("BENCH_T5", cfg["t5_model_name"]), T5Config())
+    # "question:" t5-tokenizer ids, hardcoded (zero-egress host; values
+    # only shift which embeddings the prefix rows select)
+    model_cfg = T5HeadConfig.from_dict(
+        cfg, question_prefix_ids=(822, 10), t5_cfg=t5_cfg, variant="mm")
+    model = T5VQAModel(model_cfg)
+    b, s = batch_size, cfg["max_text_len"]
+    max_len = model_cfg.max_answer_length
+    batch = {
+        "text_ids": jnp.ones((b, s), jnp.int32),
+        "text_masks": jnp.ones((b, s), jnp.int32),
+        "image": jnp.zeros((b, 384, 384, 3), jnp.float32),
+    }
+    batch1 = {k: v[:1] for k, v in batch.items()}
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "mim": jax.random.key(1)},
+        batch1, jnp.zeros((1, max_len), jnp.int32))
+    print("bench_t5_beam: init done", flush=True)
+
+    m3ae = M3AE(model_cfg.m3ae)
+    m3ae_params = {"params": params["params"]["m3ae"]}
+    jit_text = jax.jit(lambda ids, masks: m3ae.apply(
+        m3ae_params, ids, masks, method=M3AE.infer_text))
+    jit_image = jax.jit(lambda img: m3ae.apply(
+        m3ae_params, img, method=M3AE.infer_image))
+    jit_fuse = jax.jit(lambda ut, ui, masks: m3ae.apply(
+        m3ae_params, ut, ui, masks, method=M3AE.infer_fuse))
+    jit_encode = jax.jit(lambda out, batch, rng: model.apply(
+        params, out, batch, rng, method=T5VQAModel.encode_from))
+
+    k = num_beams
+    t5 = T5(model_cfg.t5)
+    t5_params = {"params": params["params"]["t5"]}
+    jit_step = jax.jit(lambda tok, pos, cache, enc, mask: t5.apply(
+        t5_params, tok, pos, enc, mask, cache, method=T5.decode_step))
+    jit_reorder = jax.jit(
+        lambda c, i: jax.tree_util.tree_map(lambda x: x[i], c))
+
+    def decode(batch, rng):
+        ut = jit_text(batch["text_ids"], batch["text_masks"])
+        ui = jit_image(batch["image"])
+        fused = jit_fuse(ut, ui, batch["text_masks"])
+        enc, mask = jit_encode(fused, batch, rng)
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        mask_rep = jnp.repeat(mask, k, axis=0)
+        cache = t5.apply(t5_params, b * k, max_len, enc_rep,
+                         method=T5.init_cache)
+        return beam_search(
+            lambda t, p, c: jit_step(t, p, c, enc_rep, mask_rep),
+            jit_reorder, cache, b, k, max_len,
+            eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+    out = decode(batch, jax.random.key(0))
+    print("bench_t5_beam: warmup decode done", flush=True)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = decode(batch, jax.random.key(i + 1))
+    dt = (time.perf_counter() - t0) / steps
+    return b / dt, dt
+
+
 def main():
     mode_for_batch = os.environ.get("BENCH_MODE", "train")
     # per-chip batch 32 amortizes the once-per-step optimizer on the train
@@ -387,6 +465,22 @@ def main():
                        "step_time_ms": round(step_s * 1000, 2),
                        "baseline_note": f"A6000 torch-eager estimate "
                                         f"{baseline} samples/s"},
+        }))
+        return
+    if mode == "t5_beam":
+        batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+        aps, dt = bench_t5_beam(batch_size, max(2, min(5, steps // 10)))
+        baseline = float(os.environ.get("A6000_T5_BEAM_APS", "15.0"))
+        print(json.dumps({
+            "metric": "vqa_rad_t5_beam4_answers_per_sec_per_chip",
+            "value": round(aps / jax.device_count(), 2),
+            "unit": "answers/sec/chip",
+            "vs_baseline": round(aps / jax.device_count() / baseline, 3),
+            "detail": {"batch": batch_size, "num_beams": 4,
+                       "max_len": 25, "t5": os.environ.get("BENCH_T5", ""),
+                       "batch_time_ms": round(dt * 1000, 2),
+                       "baseline_note": "A6000 HF-generate estimate "
+                                        "15 answers/s"},
         }))
         return
     if mode == "decode":

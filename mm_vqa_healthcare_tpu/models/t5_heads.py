@@ -130,8 +130,17 @@ class T5VQAModel(nn.Module):
     def prepare_inputs(self, batch: Dict[str, jax.Array],
                        rng: Optional[jax.Array] = None,
                        deterministic: bool = True):
-        cfg = self.cfg
         m3ae_out = self.m3ae.infer(batch, deterministic=deterministic)
+        return self.prepare_inputs_from(m3ae_out, batch, rng, deterministic)
+
+    def prepare_inputs_from(self, m3ae_out: Dict[str, jax.Array],
+                            batch: Dict[str, jax.Array],
+                            rng: Optional[jax.Array] = None,
+                            deterministic: bool = True):
+        """Soft-prompt assembly from precomputed M3AE features (split-phase
+        serving: the M3AE towers run as their own jits — see
+        M3AE.infer_text/infer_image/infer_fuse)."""
+        cfg = self.cfg
         m3ae_out = jax.tree_util.tree_map(
             jax.lax.stop_gradient,
             {k: v for k, v in m3ae_out.items()
@@ -201,6 +210,14 @@ class T5VQAModel(nn.Module):
     # ------------------------------------------------------------------ paths
     def encode(self, batch, rng=None, deterministic=True):
         embeds, mask = self.prepare_inputs(batch, rng, deterministic)
+        enc = self.t5.encode(inputs_embeds=embeds, attention_mask=mask,
+                             deterministic=deterministic)
+        return enc, mask
+
+    def encode_from(self, m3ae_out, batch, rng=None, deterministic=True):
+        """`encode` from precomputed M3AE features (split-phase serving)."""
+        embeds, mask = self.prepare_inputs_from(m3ae_out, batch, rng,
+                                                deterministic)
         enc = self.t5.encode(inputs_embeds=embeds, attention_mask=mask,
                              deterministic=deterministic)
         return enc, mask

@@ -62,6 +62,40 @@ def test_prepare_inputs_shapes(vqa_data, variant):
     assert bool(jnp.all(mask == 1))  # reference: all-ones over padded 512
 
 
+def test_encode_from_matches_encode(vqa_data):
+    """Split-phase encode (M3AE towers -> encode_from) == monolithic encode
+    bitwise; validates the t5_beam serving/bench path."""
+    t = _trainer(vqa_data, "mm")
+    t.setup_data()
+    t.init_params()
+    cfg = t.config
+    b = 2
+    rng = np.random.default_rng(5)
+    batch = {
+        "text_ids": jnp.asarray(
+            rng.integers(1, 100, (b, cfg["max_text_len"])), jnp.int32),
+        "text_masks": jnp.ones((b, cfg["max_text_len"]), jnp.int32),
+        "image": jnp.asarray(rng.normal(
+            size=(b, cfg["image_size"], cfg["image_size"], 3)), jnp.float32),
+    }
+    from mm_vqa_healthcare_tpu.models.m3ae import M3AE
+    from mm_vqa_healthcare_tpu.models.t5_heads import T5VQAModel
+    key = jax.random.key(7)
+    enc_a, mask_a = t.model.apply(t.params, batch, key,
+                                  method=T5VQAModel.encode)
+    m3ae_params = {"params": t.params["params"]["m3ae"]}
+    m3ae = M3AE(t.model_cfg.m3ae)
+    ut = m3ae.apply(m3ae_params, batch["text_ids"], batch["text_masks"],
+                    method=M3AE.infer_text)
+    ui = m3ae.apply(m3ae_params, batch["image"], method=M3AE.infer_image)
+    fused = m3ae.apply(m3ae_params, ut, ui, batch["text_masks"],
+                       method=M3AE.infer_fuse)
+    enc_b, mask_b = t.model.apply(t.params, fused, batch, key,
+                                  method=T5VQAModel.encode_from)
+    np.testing.assert_array_equal(np.asarray(enc_a), np.asarray(enc_b))
+    np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+
+
 def test_fresh_projection_changes_with_rng(vqa_data):
     """bug_compat: the CLS projection is a fresh random layer per forward."""
     t = _trainer(vqa_data, "mm")
