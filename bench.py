@@ -411,6 +411,9 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     jit_reorder = jax.jit(
         lambda c, i: jax.tree_util.tree_map(lambda x: x[i], c))
 
+    beam_impl = os.environ.get("BENCH_T5_IMPL", "host")
+    scan_cache = {}
+
     def decode(batch, rng):
         ut = jit_text(batch["text_ids"], batch["text_masks"])
         ui = jit_image(batch["image"])
@@ -420,6 +423,15 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
         mask_rep = jnp.repeat(mask, k, axis=0)
         cache = t5.apply(t5_params, b * k, max_len, enc_rep,
                          method=T5.init_cache)
+        if beam_impl == "device":
+            from mm_vqa_healthcare_tpu.decode.beam_device import (
+                beam_search_device)
+            return beam_search_device(
+                lambda t_, p, c, e, m: t5.apply(
+                    t5_params, t_, p, e, m, c, method=T5.decode_step),
+                cache, b, k, max_len, eos_token_id=1, pad_token_id=0,
+                decoder_start_token_id=0, jit_cache=scan_cache,
+                step_args=(enc_rep, mask_rep))
         return beam_search(
             lambda t, p, c: jit_step(t, p, c, enc_rep, mask_rep),
             jit_reorder, cache, b, k, max_len,
@@ -478,6 +490,7 @@ def main():
             "vs_baseline": round(aps / jax.device_count() / baseline, 3),
             "detail": {"batch": batch_size, "num_beams": 4,
                        "max_len": 25, "t5": os.environ.get("BENCH_T5", ""),
+                       "beam_impl": os.environ.get("BENCH_T5_IMPL", "host"),
                        "batch_time_ms": round(dt * 1000, 2),
                        "baseline_note": "A6000 HF-generate estimate "
                                         "15 answers/s"},

@@ -189,6 +189,10 @@ def base_config() -> Dict[str, Any]:
         # TPU — hardware-accelerated bits, much cheaper dropout masks than
         # threefry — threefry elsewhere), "threefry", "rbg".
         rng_impl="auto",
+        # T5 beam-search execution: "host" (HF-protocol loop on host,
+        # token-parity oracle) or "device" (one jitted lax.scan, no
+        # per-token host round trips — decode/beam_device.py).
+        beam_impl="host",
         # Log every N steps (reference main.py:71).
         log_every_n_steps=10,
         # Enable jax NaN checking (debug; SURVEY.md §5 sanitizer rebuild).

@@ -301,18 +301,35 @@ class T5Trainer:
                          method=T5.init_cache)
 
         if "beam_step" not in self._jitted:
-            def step_fn(tokens, pos, cache, enc_rep, mask_rep):
+            # params flow through as a traced argument — a closure capture
+            # would bake epoch-0 weights into the compiled step for the
+            # rest of the run
+            def step_fn(tokens, pos, cache, t5_params, enc_rep, mask_rep):
                 return t5.apply(t5_params, tokens, pos, enc_rep, mask_rep,
                                 cache, method=T5.decode_step)
+            self._jitted["beam_step_raw"] = step_fn
             self._jitted["beam_step"] = jax.jit(step_fn)
             self._jitted["beam_reorder"] = jax.jit(
                 lambda c, i: jax.tree_util.tree_map(lambda x: x[i], c))
         step = self._jitted["beam_step"]
+        eos = (tok.eos_token_id if tok.eos_token_id is not None
+               else tok.sep_token_id)
+        if self.config.get("beam_impl", "host") == "device":
+            # whole token loop as one jitted scan — no per-token host
+            # round trips (decode/beam_device.py); token-identical to the
+            # host HF protocol except bitwise score ties
+            from mm_vqa_healthcare_tpu.decode.beam_device import (
+                beam_search_device)
+            return beam_search_device(
+                self._jitted["beam_step_raw"], cache, b, k, max_len,
+                eos_token_id=eos, pad_token_id=tok.pad_token_id,
+                decoder_start_token_id=t5_cfg.decoder_start_token_id,
+                jit_cache=self._jitted,
+                step_args=(t5_params, enc_rep, mask_rep))
         return beam_search(
-            lambda t, p, c: step(t, p, c, enc_rep, mask_rep),
+            lambda t, p, c: step(t, p, c, t5_params, enc_rep, mask_rep),
             self._jitted["beam_reorder"], cache, b, k, max_len,
-            eos_token_id=tok.eos_token_id
-            if tok.eos_token_id is not None else tok.sep_token_id,
+            eos_token_id=eos,
             pad_token_id=tok.pad_token_id,
             decoder_start_token_id=t5_cfg.decoder_start_token_id)
 

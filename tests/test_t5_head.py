@@ -127,6 +127,29 @@ def test_t5_finetune_and_beam_test(vqa_data):
     assert "test/bleu" in metrics
 
 
+def test_t5_generate_device_beam_matches_host(vqa_data):
+    """trainer.generate with beam_impl=device == host HF-protocol beam,
+    token for token, through the real tiny T5."""
+    t = _trainer(vqa_data, "mm")
+    t.setup_data()
+    t.init_params()
+    cfg = t.config
+    b = 4  # divisible by the test mesh's data axis
+    rng = np.random.default_rng(11)
+    batch = {
+        "text_ids": jnp.asarray(
+            rng.integers(1, 100, (b, cfg["max_text_len"])), jnp.int32),
+        "text_masks": jnp.ones((b, cfg["max_text_len"]), jnp.int32),
+        "image": jnp.asarray(rng.normal(
+            size=(b, cfg["image_size"], cfg["image_size"], 3)),
+            jnp.float32),
+    }
+    host = t.generate(batch, jax.random.key(2))
+    t.config["beam_impl"] = "device"
+    dev = t.generate(batch, jax.random.key(2))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_unfreeze_partition(vqa_data):
     t = _trainer(vqa_data, "mm")
     t.setup_data()
