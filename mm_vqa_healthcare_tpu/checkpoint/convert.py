@@ -431,6 +431,37 @@ def params_to_torch_state_dict(params, cfg) -> Dict[str, np.ndarray]:
     return out
 
 
+def bootstrap_vision_tower(cfg, init_params, path: str = None,
+                           cache_dir: str = None):
+    """Cold-start the vision tower from public pretrained weights — the
+    reference's CLIP `build_model` download path (clip_model.py:259-276)
+    and timm Swin `load_pretrained` (swin_helpers.py:181-416).  Raw tower
+    state dicts (CLIP torchscript archives / timm pickles) carry keys
+    without the `vision_encoder.` wrapper prefix the converter rules use;
+    this prefixes and routes them through torch_state_dict_to_params
+    (pos-embed / rel-pos-bias re-interp included)."""
+    from mm_vqa_healthcare_tpu.checkpoint.fetch import (
+        fetch_pretrained, load_state_dict)
+    path = path or fetch_pretrained(cfg.vit, cache_dir)
+    sd = load_state_dict(path)
+    sd = {(k if k.startswith("vision_encoder.")
+           else f"vision_encoder.{k}"): v for k, v in sd.items()}
+    return torch_state_dict_to_params(sd, cfg, init_params)
+
+
+def bootstrap_text_tower(cfg, init_params, path: str):
+    """Cold-start the text tower from an HF-format torch state_dict (the
+    reference's `BertModel.from_pretrained` cold start) — HF keys
+    (`embeddings.*`, `encoder.layer.*`) get the `language_encoder.`
+    prefix the converter rules use."""
+    from mm_vqa_healthcare_tpu.checkpoint.fetch import load_state_dict
+    sd = load_state_dict(path)
+    sd = {(k if k.startswith("language_encoder.")
+           else f"language_encoder.{k.removeprefix('bert.')}"): v
+          for k, v in sd.items()}
+    return torch_state_dict_to_params(sd, cfg, init_params)
+
+
 def load_reference_checkpoint(path: str, cfg, init_params):
     """Load a reference PL .ckpt (or raw state_dict file) into flax params.
 

@@ -124,6 +124,14 @@ def base_config() -> Dict[str, Any]:
         load_path="",
         decoder_load_path="",
         load_path_t5="",
+        # Cold-start bootstrap (reference always builds towers from
+        # pretrained weights): fetch/convert public CLIP/Swin weights into
+        # the vision tower when no load_path is given.  Paths override the
+        # network fetch (air-gapped hosts pre-seed the cache or point
+        # these at local files).
+        bootstrap_towers=False,
+        vision_pretrained_path="",
+        text_pretrained_path="",
         num_workers=8,
         precision=32,
         gpu_device_number=0,

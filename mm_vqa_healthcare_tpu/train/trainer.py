@@ -166,6 +166,19 @@ class Trainer:
                 cfg["load_path"], self.model_cfg, params)
             print(f"Loaded {len(loaded)} tensors from {cfg['load_path']} "
                   f"({len(missing)} not in ckpt)")
+        elif cfg.get("bootstrap_towers"):
+            # reference cold start: pretrained CLIP/Swin vision tower
+            # (+ optional HF text tower) instead of random init
+            from mm_vqa_healthcare_tpu.checkpoint.convert import (
+                bootstrap_text_tower, bootstrap_vision_tower)
+            params, loaded, _ = bootstrap_vision_tower(
+                self.model_cfg, params,
+                path=cfg.get("vision_pretrained_path") or None)
+            print(f"Bootstrapped vision tower: {len(loaded)} tensors")
+            if cfg.get("text_pretrained_path"):
+                params, loaded, _ = bootstrap_text_tower(
+                    self.model_cfg, params, cfg["text_pretrained_path"])
+                print(f"Bootstrapped text tower: {len(loaded)} tensors")
         # TP-aware placement: params get model-axis partition specs
         # (pure replication when model=1) — jit propagates from these
         # committed shardings
