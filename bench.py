@@ -313,24 +313,28 @@ def bench_decode(batch_size: int, steps: int):
         from mm_vqa_healthcare_tpu.models.m3ae import M3AE
         m3ae = M3AE(model_cfg.m3ae)
         m3ae_params = {"params": params["params"]["m3ae"]}
-        jit_text = jax.jit(lambda ids, masks: m3ae.apply(
-            m3ae_params, ids, masks, method=M3AE.infer_text))
-        jit_image = jax.jit(lambda img: m3ae.apply(
-            m3ae_params, img, method=M3AE.infer_image))
+        # params are jit ARGUMENTS, never closure captures: captured
+        # arrays serialize as constants into the remote-compile request
+        # (HTTP 413 / broken pipe at M3AE scale)
+        jit_text = jax.jit(lambda p, ids, masks: m3ae.apply(
+            p, ids, masks, method=M3AE.infer_text))
+        jit_image = jax.jit(lambda p, img: m3ae.apply(
+            p, img, method=M3AE.infer_image))
 
-        def _fuse(ut, ui, masks):
-            out = m3ae.apply(m3ae_params, ut, ui, masks,
-                             method=M3AE.infer_fuse)
+        def _fuse(p, ut, ui, masks):
+            out = m3ae.apply(p, ut, ui, masks, method=M3AE.infer_fuse)
             return assemble_encoder_memory(out, model_cfg)
         jit_fuse = jax.jit(_fuse)
 
         def encode(batch):
-            ut = jit_text(batch["text_ids"], batch["text_masks"])
-            ui = jit_image(batch["image"])
-            return jit_fuse(ut, ui, batch["text_masks"])
+            ut = jit_text(m3ae_params, batch["text_ids"],
+                          batch["text_masks"])
+            ui = jit_image(m3ae_params, batch["image"])
+            return jit_fuse(m3ae_params, ut, ui, batch["text_masks"])
     else:
-        encode = jax.jit(lambda batch: model.apply(
-            params, batch, method=DecoderVQAModel.encode))
+        encode_fn = jax.jit(lambda p, batch: model.apply(
+            p, batch, method=DecoderVQAModel.encode))
+        encode = lambda batch: encode_fn(params, batch)
     jit_cache = {}
 
     # host-driven greedy: the while_loop path compiles pathologically
@@ -394,20 +398,22 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
 
     m3ae = M3AE(model_cfg.m3ae)
     m3ae_params = {"params": params["params"]["m3ae"]}
-    jit_text = jax.jit(lambda ids, masks: m3ae.apply(
-        m3ae_params, ids, masks, method=M3AE.infer_text))
-    jit_image = jax.jit(lambda img: m3ae.apply(
-        m3ae_params, img, method=M3AE.infer_image))
-    jit_fuse = jax.jit(lambda ut, ui, masks: m3ae.apply(
-        m3ae_params, ut, ui, masks, method=M3AE.infer_fuse))
-    jit_encode = jax.jit(lambda out, batch, rng: model.apply(
-        params, out, batch, rng, method=T5VQAModel.encode_from))
+    # params as jit ARGUMENTS (closure captures become constants in the
+    # remote-compile request body -> HTTP 413 at this scale)
+    jit_text = jax.jit(lambda p, ids, masks: m3ae.apply(
+        p, ids, masks, method=M3AE.infer_text))
+    jit_image = jax.jit(lambda p, img: m3ae.apply(
+        p, img, method=M3AE.infer_image))
+    jit_fuse = jax.jit(lambda p, ut, ui, masks: m3ae.apply(
+        p, ut, ui, masks, method=M3AE.infer_fuse))
+    jit_encode = jax.jit(lambda p, out, batch, rng: model.apply(
+        p, out, batch, rng, method=T5VQAModel.encode_from))
 
     k = num_beams
     t5 = T5(model_cfg.t5)
     t5_params = {"params": params["params"]["t5"]}
-    jit_step = jax.jit(lambda tok, pos, cache, enc, mask: t5.apply(
-        t5_params, tok, pos, enc, mask, cache, method=T5.decode_step))
+    jit_step = jax.jit(lambda p, tok, pos, cache, enc, mask: t5.apply(
+        p, tok, pos, enc, mask, cache, method=T5.decode_step))
     jit_reorder = jax.jit(
         lambda c, i: jax.tree_util.tree_map(lambda x: x[i], c))
 
@@ -415,10 +421,10 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     scan_cache = {}
 
     def decode(batch, rng):
-        ut = jit_text(batch["text_ids"], batch["text_masks"])
-        ui = jit_image(batch["image"])
-        fused = jit_fuse(ut, ui, batch["text_masks"])
-        enc, mask = jit_encode(fused, batch, rng)
+        ut = jit_text(m3ae_params, batch["text_ids"], batch["text_masks"])
+        ui = jit_image(m3ae_params, batch["image"])
+        fused = jit_fuse(m3ae_params, ut, ui, batch["text_masks"])
+        enc, mask = jit_encode(params, fused, batch, rng)
         enc_rep = jnp.repeat(enc, k, axis=0)
         mask_rep = jnp.repeat(mask, k, axis=0)
         cache = t5.apply(t5_params, b * k, max_len, enc_rep,
@@ -427,13 +433,14 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
             from mm_vqa_healthcare_tpu.decode.beam_device import (
                 beam_search_device)
             return beam_search_device(
-                lambda t_, p, c, e, m: t5.apply(
-                    t5_params, t_, p, e, m, c, method=T5.decode_step),
+                lambda t_, pos, c, p, e, m: t5.apply(
+                    p, t_, pos, e, m, c, method=T5.decode_step),
                 cache, b, k, max_len, eos_token_id=1, pad_token_id=0,
                 decoder_start_token_id=0, jit_cache=scan_cache,
-                step_args=(enc_rep, mask_rep))
+                step_args=(t5_params, enc_rep, mask_rep))
         return beam_search(
-            lambda t, p, c: jit_step(t, p, c, enc_rep, mask_rep),
+            lambda t, pos, c: jit_step(t5_params, t, pos, c, enc_rep,
+                                       mask_rep),
             jit_reorder, cache, b, k, max_len,
             eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
 

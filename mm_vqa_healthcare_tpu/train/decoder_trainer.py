@@ -61,27 +61,35 @@ class DecoderTrainer:
         self.image_std = np.asarray(tr.std, np.float32)
 
     # --------------------------------------------------------------- plumbing
+    def setup_model(self, tokenizer=None):
+        """Tokenizer + model construction — no dataset required (the
+        serving CLI cold-starts models without Arrow data)."""
+        if getattr(self, "model", None) is None:
+            from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+            self.tokenizer = tokenizer or load_tokenizer(
+                self.config["tokenizer"], self.config.get("tokenizer_path", ""))
+            # separate instance for target building: the loader prefetch
+            # thread tokenizes questions concurrently, and HF fast
+            # tokenizers are not thread-safe ("Already borrowed")
+            self.target_tokenizer = load_tokenizer(
+                self.config["tokenizer"], self.config.get("tokenizer_path", ""))
+            self.model_cfg = DecoderModelConfig.from_dict(
+                self.config, vocab_size=len(self.tokenizer))
+            self.model = DecoderVQAModel(self.model_cfg)
+        return self.model
+
     def setup_data(self):
         if self.dm is None:
             self.dm = MTDataModule(self.config,
                                    dist=jax.process_count() > 1,
                                    device_count=self.mesh.devices.shape[0])
             self.dm.setup()
-            self.tokenizer = self.dm.tokenizer
-            # separate instance for target building: the loader prefetch
-            # thread tokenizes questions concurrently, and HF fast
-            # tokenizers are not thread-safe ("Already borrowed")
-            from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
-            self.target_tokenizer = load_tokenizer(
-                self.config["tokenizer"], self.config.get("tokenizer_path", ""))
-            self.model_cfg = DecoderModelConfig.from_dict(
-                self.config, vocab_size=len(self.tokenizer))
-            self.model = DecoderVQAModel(self.model_cfg)
+            self.setup_model(self.dm.tokenizer)
         return self.dm
 
     def init_params(self):
         cfg = self.config
-        self.setup_data()
+        self.setup_model()
         b, s = 1, cfg["max_text_len"]
         batch = {
             "text_ids": jnp.ones((b, s), jnp.int32),

@@ -86,12 +86,10 @@ class T5Trainer:
             self._t5_tokenizer = load_t5_tokenizer(self.config)
         return self._t5_tokenizer
 
-    def setup_data(self):
-        if self.dm is None:
-            self.dm = MTDataModule(self.config,
-                                   dist=jax.process_count() > 1,
-                                   device_count=self.mesh.devices.shape[0])
-            self.dm.setup()
+    def setup_model(self):
+        """Tokenizer + model construction — no dataset required (the
+        serving CLI cold-starts models without Arrow data)."""
+        if getattr(self, "model", None) is None:
             tok = self.t5_tokenizer
             q_ids = tok("question:", add_special_tokens=False)["input_ids"]
             c_ids = tok("context:", add_special_tokens=False)["input_ids"]
@@ -106,11 +104,20 @@ class T5Trainer:
                 context_prefix_ids=c_ids, t5_cfg=t5_cfg,
                 variant=self.variant)
             self.model = T5VQAModel(self.model_cfg)
+        return self.model
+
+    def setup_data(self):
+        if self.dm is None:
+            self.dm = MTDataModule(self.config,
+                                   dist=jax.process_count() > 1,
+                                   device_count=self.mesh.devices.shape[0])
+            self.dm.setup()
+            self.setup_model()
         return self.dm
 
     def init_params(self):
         cfg = self.config
-        self.setup_data()
+        self.setup_model()
         b, s = 1, cfg["max_text_len"]
         batch = {
             "text_ids": jnp.ones((b, s), jnp.int32),

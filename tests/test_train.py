@@ -103,6 +103,39 @@ def test_predictor_end_to_end(tmp_path, vqa_data):
     assert all(o["answer"] in answers for o in out)
 
 
+def test_generative_predictors_datasetless(tmp_path, vqa_data):
+    """Decoder-greedy and T5-beam serving heads answer (image, question)
+    pairs WITHOUT any Arrow dataset present (setup_model path)."""
+    import numpy as np
+    from PIL import Image
+    from mm_vqa_healthcare_tpu.cli.predict import (DecoderPredictor,
+                                                   T5Predictor)
+    from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               mesh_shape={"data": 1}, t5_max_length=8)
+    # data_root intentionally nonexistent: serving must not touch it
+    # (tiny_config itself only reads label2ans.json for the label count)
+    cfg["data_root"] = str(tmp_path / "no_data")
+    img = tmp_path / "q.png"
+    Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(img)
+
+    pred = DecoderPredictor(cfg, batch_size=2)
+    out = pred.answer([str(img)] * 3, ["is there cardiomegaly"] * 3)
+    assert len(out) == 3 and all(isinstance(o["answer"], str) for o in out)
+
+    import mm_vqa_healthcare_tpu.models.t5 as t5_mod
+    from mm_vqa_healthcare_tpu.models.t5 import T5Config
+    t5_mod.T5_PRESETS["t5-small"] = T5Config(
+        vocab_size=200, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2)
+    tok = load_tokenizer("tiny-bert", vocab)
+    cfg2 = dict(cfg, beam_impl="device")
+    pred = T5Predictor(cfg2, batch_size=2, t5_tokenizer=tok)
+    out = pred.answer([str(img)] * 2, ["is there cardiomegaly"] * 2)
+    assert len(out) == 2 and all(isinstance(o["answer"], str) for o in out)
+
+
 def test_reference_ckpt_load_flow(tmp_path, vqa_data):
     """test_m3ae.sh flow: a reference-format PL .ckpt loads through
     load_path and drives test-only eval (the checkpoint contract)."""
