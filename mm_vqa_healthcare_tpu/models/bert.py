@@ -18,8 +18,9 @@ attention.output.dense, intermediate.dense, output.dense, LayerNorm) so the
 checkpoint converter is a near-identity mapping.
 
 Attention math runs through ops.attention (Pallas fused kernel on TPU).
-Attention-probability dropout (HF semantics) forces the XLA path when
-active; with dropout off (eval / decode / bench) the fused kernel is used.
+Attention-probability dropout (HF semantics) runs in-kernel on the packed
+pallas path (TPU PRNG seeded per head-program) and via jax.random on the
+XLA path — see ops/attention.py:dot_product_attention_packed.
 """
 
 from __future__ import annotations
