@@ -40,6 +40,9 @@ def test_two_process_collectives_and_strided_loader(tmp_path):
 
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the worker runs as a script (sys.path[0] = tests/), so the package
+    # root must come from PYTHONPATH — don't rely on the ambient value
+    env["PYTHONPATH"] = repo
     procs, outs = [], []
     for pid in range(2):
         out = os.path.join(root, f"out{pid}.json")
