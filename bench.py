@@ -337,13 +337,25 @@ def bench_decode(batch_size: int, steps: int):
         encode = lambda batch: encode_fn(params, batch)
     jit_cache = {}
 
-    # host-driven greedy: the while_loop path compiles pathologically
-    # slowly through the axon remote-compile tunnel (PERF.md)
-    def decode(batch):
-        enc = encode(batch)
-        return greedy_search_host(decoder, dec_params, enc,
-                                  cls_id=101, sep_id=102, pad_id=0,
-                                  jit_cache=jit_cache)
+    if os.environ.get("BENCH_DECODE_IMPL") == "device":
+        # ONE jitted program: encode + lax.while_loop greedy — zero host
+        # round trips per batch (params as traced args)
+        from mm_vqa_healthcare_tpu.decode.greedy import greedy_search
+        decode_jit = jax.jit(lambda p, batch: greedy_search(
+            decoder, {"params": p["params"]["decoder"]},
+            model.apply(p, batch, method=DecoderVQAModel.encode),
+            cls_id=101, sep_id=102, pad_id=0))
+
+        def decode(batch):
+            return decode_jit(params, batch)
+    else:
+        # host-driven greedy: jitted encode + jitted K-token scan chunks,
+        # loop on host (MMVQA_DECODE_CHUNK per round trip)
+        def decode(batch):
+            enc = encode(batch)
+            return greedy_search_host(decoder, dec_params, enc,
+                                      cls_id=101, sep_id=102, pad_id=0,
+                                      jit_cache=jit_cache)
 
     out = decode(batch)
     jax.device_get(out)
