@@ -434,6 +434,49 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     beam_impl = os.environ.get("BENCH_T5_IMPL", "device")
     scan_cache = {}
 
+    if beam_impl == "device_onejit":
+        # ONE program per batch: M3AE towers + fuse + T5 encode + the
+        # whole beam scan — zero intermediate host round trips (the 5-jit
+        # split pays ~90 ms dispatch each through a tunneled backend)
+        from mm_vqa_healthcare_tpu.decode.beam_device import (
+            finalize_from_scan, scan_beam)
+
+        def _all(p, batch, rng):
+            m3p = {"params": p["params"]["m3ae"]}
+            ut = m3ae.apply(m3p, batch["text_ids"], batch["text_masks"],
+                            method=M3AE.infer_text)
+            ui = m3ae.apply(m3p, batch["image"], method=M3AE.infer_image)
+            fused = m3ae.apply(m3p, ut, ui, batch["text_masks"],
+                               method=M3AE.infer_fuse)
+            enc, mask = model.apply(p, fused, batch, rng,
+                                    method=T5VQAModel.encode_from)
+            enc_rep = jnp.repeat(enc, k, axis=0)
+            mask_rep = jnp.repeat(mask, k, axis=0)
+            tp = {"params": p["params"]["t5"]}
+            cache = t5.apply(tp, b * k, max_len, enc_rep,
+                             method=T5.init_cache)
+            return scan_beam(
+                lambda t_, pos, c, tp_, e, m: t5.apply(
+                    tp_, t_, pos, e, m, c, method=T5.decode_step),
+                cache, (tp, enc_rep, mask_rep), b, k, max_len,
+                eos_token_id=1, pad_token_id=0,
+                decoder_start_token_id=0, length_penalty=1.0,
+                early_stopping=True)
+        onejit = jax.jit(_all)
+
+        def decode(batch, rng):
+            return finalize_from_scan(
+                onejit(params, batch, rng), b, k, max_len,
+                eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+
+        out = decode(batch, jax.random.key(0))
+        print("bench_t5_beam: warmup decode done", flush=True)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            out = decode(batch, jax.random.key(i + 1))
+        dt = (time.perf_counter() - t0) / steps
+        return b / dt, dt
+
     def decode(batch, rng):
         ut = jit_text(m3ae_params, batch["text_ids"], batch["text_masks"])
         ui = jit_image(m3ae_params, batch["image"])

@@ -53,13 +53,17 @@ def _finalize_outputs(best, batch_size: int, max_length: int,
     return out
 
 
-def _scan_beam(step_fn: Callable, cache, step_args: Tuple,
-               batch_size: int, num_beams: int,
-               max_length: int, eos_token_id: int, pad_token_id: int,
-               decoder_start_token_id: int, length_penalty: float,
-               early_stopping: bool):
-    """The jitted part: T = max_length-1 beam steps under lax.scan.
-    Returns pool + tapes (all fixed-shape device arrays)."""
+def scan_beam(step_fn: Callable, cache, step_args: Tuple,
+              batch_size: int, num_beams: int,
+              max_length: int, eos_token_id: int, pad_token_id: int,
+              decoder_start_token_id: int, length_penalty: float,
+              early_stopping: bool):
+    """The traceable part: T = max_length-1 beam steps under lax.scan.
+    Returns pool + tapes (all fixed-shape device arrays).  Pure jax — call
+    it INSIDE a larger jit to fuse encoder forwards + the whole beam loop
+    into a single program (zero host round trips per batch; see
+    bench.py:bench_t5_beam `device_onejit`), then reconstruct sequences
+    with `finalize_from_scan`."""
     b_sz, k = batch_size, num_beams
     n = b_sz * k
     t_steps = max_length - 1
@@ -186,14 +190,27 @@ def beam_search_device(step_fn: Callable, cache, batch_size: int,
     if jit_cache is not None and key in jit_cache:
         scan = jit_cache[key]
     else:
-        scan = jax.jit(lambda cache, *args: _scan_beam(
+        scan = jax.jit(lambda cache, *args: scan_beam(
             step_fn, cache, args, batch_size, num_beams, max_length,
             eos_token_id, pad_token_id, decoder_start_token_id,
             length_penalty, early_stopping))
         if jit_cache is not None:
             jit_cache[key] = scan
-    out = jax.device_get(scan(cache, *step_args))
+    return finalize_from_scan(
+        scan(cache, *step_args), batch_size, num_beams, max_length,
+        eos_token_id, pad_token_id, decoder_start_token_id,
+        length_penalty, early_stopping)
 
+
+def finalize_from_scan(out, batch_size: int, num_beams: int,
+                       max_length: int, eos_token_id: int,
+                       pad_token_id: int, decoder_start_token_id: int,
+                       length_penalty: float = 1.0,
+                       early_stopping: bool = True) -> np.ndarray:
+    """Host half: backtrack the (token, parent) tapes from a `scan_beam`
+    result into HF-finalized sequences (O(B*K*T) int work on tiny
+    arrays)."""
+    out = jax.device_get(out)
     tok_tape = out["tok_tape"]          # [T, B, K]
     par_tape = out["par_tape"]
     t_steps = tok_tape.shape[0]

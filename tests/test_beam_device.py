@@ -131,3 +131,31 @@ def test_jit_cache_reuse_fresh_step_args():
         outs.append(dev)
     assert len(jit_cache) == 1  # second call reused the compiled scan
     assert not np.array_equal(outs[0], outs[1])  # and saw the new args
+
+
+def test_scan_beam_fused_in_outer_jit():
+    """`scan_beam` must be traceable inside a LARGER jit (an "encoder" +
+    the whole beam loop as one program — the serving one-jit path,
+    bench.py device_onejit) and match beam_search_device exactly."""
+    from mm_vqa_healthcare_tpu.decode.beam_device import (
+        finalize_from_scan, scan_beam)
+
+    b, k, vocab, max_len = 3, 4, 17, 8
+    step = _make_step(vocab, 0.9, 1.0)
+
+    def one_program(x):
+        # a fake "encoder" producing the initial cache inside the jit
+        h0 = (x * 7).astype(jnp.int32) % 5
+        return scan_beam(step, {"h": h0}, (), b, k, max_len,
+                         eos_token_id=1, pad_token_id=0,
+                         decoder_start_token_id=0, length_penalty=1.0,
+                         early_stopping=True)
+
+    x = jnp.arange(b * k, dtype=jnp.float32)
+    fused = finalize_from_scan(jax.jit(one_program)(x), b, k, max_len,
+                               eos_token_id=1, pad_token_id=0,
+                               decoder_start_token_id=0)
+    ref = beam_search_device(step, {"h": (x * 7).astype(jnp.int32) % 5},
+                             b, k, max_len, eos_token_id=1, pad_token_id=0,
+                             decoder_start_token_id=0)
+    np.testing.assert_array_equal(fused, ref)
