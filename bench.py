@@ -159,7 +159,7 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
     (+ decoded-frame cache) -> randaug -> collate -> device step.  Measures
     steady state (epoch 2+, decode cache warm) — VERDICT r1 item 5."""
     from mm_vqa_healthcare_tpu.config import compose
-    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer, make_train_key
 
     root = os.environ.get("MMVQA_REALDATA_ROOT",
                           os.path.join(os.path.dirname(
@@ -190,7 +190,9 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
     trainer.init_params()
     trainer.setup_optimizer(steps_per_epoch=100)
     step = trainer._get_jitted("train")
-    rng = jax.random.key(0)
+    # same PRNG family as Trainer.fit (rbg on TPU — hardware RNG; a
+    # threefry key here would pay ~20 ALU ops/word for dropout bits)
+    rng = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
 
     def epoch_steps(epoch, limit, measure=False):
         n = 0
@@ -562,7 +564,10 @@ def main():
         }))
         return
     if mode == "decode":
-        batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+        # decode is per-token-overhead-bound: batch amortizes it (b32
+        # 86 -> b128 239 -> b512 359 answers/s, batch13b/14); 128 keeps
+        # worst-case full-128-token latency ~0.5 s
+        batch_size = int(os.environ.get("BENCH_BATCH", "128"))
         aps, dt = bench_decode(batch_size, max(3, min(10, steps // 3)))
         baseline = float(os.environ.get("A6000_DECODE_APS", "40.0"))
         print(json.dumps({

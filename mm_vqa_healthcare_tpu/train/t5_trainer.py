@@ -296,6 +296,8 @@ class T5Trainer:
     def generate(self, batch_dev, rng) -> np.ndarray:
         tok = self.t5_tokenizer
         t5_cfg = self.model_cfg.t5
+        if self.config.get("beam_impl", "host") == "device_onejit":
+            return self._generate_onejit(batch_dev, rng)
         enc, mask = self._get_jitted("encode")(self.params, batch_dev, rng)
         b = enc.shape[0]
         k = self.num_beams
@@ -339,6 +341,52 @@ class T5Trainer:
             eos_token_id=eos,
             pad_token_id=tok.pad_token_id,
             decoder_start_token_id=t5_cfg.decoder_start_token_id)
+
+    def _generate_onejit(self, batch_dev, rng) -> np.ndarray:
+        """beam_impl=device_onejit: encode + KV-cache init + the WHOLE
+        beam scan as ONE jitted program — a single host round trip per
+        batch (the split path pays one dispatch per phase; ~90 ms each on
+        tunneled backends).  Token-identical to beam_impl=device
+        (tests/test_t5_head.py)."""
+        from mm_vqa_healthcare_tpu.decode.beam_device import (
+            finalize_from_scan, scan_beam)
+        tok = self.t5_tokenizer
+        t5_cfg = self.model_cfg.t5
+        k = self.num_beams
+        max_len = self.config["t5_max_length"]
+        eos = (tok.eos_token_id if tok.eos_token_id is not None
+               else tok.sep_token_id)
+        start = t5_cfg.decoder_start_token_id
+        if "beam_onejit" not in self._jitted:
+            t5 = T5(t5_cfg)
+
+            def step_fn(tokens, pos, cache, tp, enc_rep, mask_rep):
+                return t5.apply(tp, tokens, pos, enc_rep, mask_rep,
+                                cache, method=T5.decode_step)
+
+            def onejit(params, batch_dev, rng):
+                enc, mask = self._encode_fn(params, batch_dev, rng)
+                nb = enc.shape[0]          # static per trace; batch-size
+                enc_rep = jnp.repeat(enc, k, axis=0)      # changes retrace
+                mask_rep = jnp.repeat(mask, k, axis=0)
+                tp = {"params": params["params"]["t5"]}
+                cache = t5.apply(tp, nb * k, max_len, enc_rep,
+                                 method=T5.init_cache)
+                return scan_beam(step_fn, cache, (tp, enc_rep, mask_rep),
+                                 nb, k, max_len, eos_token_id=eos,
+                                 pad_token_id=tok.pad_token_id,
+                                 decoder_start_token_id=start,
+                                 length_penalty=1.0, early_stopping=True)
+
+            rep = mesh_lib.replicated(self.mesh)
+            data = mesh_lib.batch_sharding(self.mesh)
+            self._jitted["beam_onejit"] = jax.jit(
+                onejit, in_shardings=(rep, data, rep))
+        out = self._jitted["beam_onejit"](self.params, batch_dev, rng)
+        return finalize_from_scan(
+            out, int(out["beam_scores"].shape[0]), k, max_len,
+            eos_token_id=eos, pad_token_id=tok.pad_token_id,
+            decoder_start_token_id=start)
 
     # ------------------------------------------------------------------ loops
     def fit(self):

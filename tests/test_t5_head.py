@@ -148,6 +148,10 @@ def test_t5_generate_device_beam_matches_host(vqa_data):
     t.config["beam_impl"] = "device"
     dev = t.generate(batch, jax.random.key(2))
     np.testing.assert_array_equal(dev, host)
+    # single-program serving path: encode + cache + beam scan in ONE jit
+    t.config["beam_impl"] = "device_onejit"
+    onejit = t.generate(batch, jax.random.key(2))
+    np.testing.assert_array_equal(onejit, host)
 
 
 def test_unfreeze_partition(vqa_data):
