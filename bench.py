@@ -463,7 +463,8 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
                 cache, (tp, enc_rep, mask_rep), b, k, max_len,
                 eos_token_id=1, pad_token_id=0,
                 decoder_start_token_id=0, length_penalty=1.0,
-                early_stopping=True)
+                early_stopping=True,
+                cache_split=(T5.split_cache, T5.merge_cache))
         onejit = jax.jit(_all)
 
         def decode(batch, rng):
@@ -496,7 +497,8 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
                     p, t_, pos, e, m, c, method=T5.decode_step),
                 cache, b, k, max_len, eos_token_id=1, pad_token_id=0,
                 decoder_start_token_id=0, jit_cache=scan_cache,
-                step_args=(t5_params, enc_rep, mask_rep))
+                step_args=(t5_params, enc_rep, mask_rep),
+                cache_split=(T5.split_cache, T5.merge_cache))
         return beam_search(
             lambda t, pos, c: jit_step(t5_params, t, pos, c, enc_rep,
                                        mask_rep),
@@ -505,10 +507,15 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
 
     out = decode(batch, jax.random.key(0))
     print("bench_t5_beam: warmup decode done", flush=True)
+    profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(steps):
         out = decode(batch, jax.random.key(i + 1))
     dt = (time.perf_counter() - t0) / steps
+    if profile_dir:
+        jax.profiler.stop_trace()
     return b / dt, dt
 
 

@@ -26,6 +26,7 @@ first-inserted-wins; device accumulates scores in fp32 (host: fp64).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -35,6 +36,11 @@ import numpy as np
 from mm_vqa_healthcare_tpu.decode.beam import BeamHypotheses
 
 _NEG = -1e9
+# Two-stage candidate top-k (see body): tie-order-exact alternative to the
+# single [B, K*vocab] top_k, but measured SLOWER on TPU (batch15: 50.8 vs
+# 60.5 answers/s same-batch — XLA's one big top_k beats two smaller sorts
+# plus the gather stitching).  Default off; knob kept for other backends.
+_TWO_STAGE_TOPK = os.environ.get("MMVQA_BEAM_TWO_STAGE", "0") == "1"
 
 
 def _finalize_outputs(best, batch_size: int, max_length: int,
@@ -57,20 +63,36 @@ def scan_beam(step_fn: Callable, cache, step_args: Tuple,
               batch_size: int, num_beams: int,
               max_length: int, eos_token_id: int, pad_token_id: int,
               decoder_start_token_id: int, length_penalty: float,
-              early_stopping: bool):
+              early_stopping: bool, cache_split=None):
     """The traceable part: T = max_length-1 beam steps under lax.scan.
     Returns pool + tapes (all fixed-shape device arrays).  Pure jax — call
     it INSIDE a larger jit to fuse encoder forwards + the whole beam loop
     into a single program (zero host round trips per batch; see
     bench.py:bench_t5_beam `device_onejit`), then reconstruct sequences
-    with `finalize_from_scan`."""
+    with `finalize_from_scan`.
+
+    `cache_split`: optional `(split_fn, merge_fn)` pair — e.g.
+    `(T5.split_cache, T5.merge_cache)` — separating the cache into a
+    (mutable, beam-dependent) carry part and a static part that is
+    identical across the K beams of a batch item and never written by
+    `step_fn` (T5 cross-attention K/V).  Only the carry part goes through
+    the scan and the per-step parent gather; the static part rides the
+    scan body as a closure constant.  Exact: gathering beam-invariant
+    values with within-item parent indices is the identity, so skipping
+    it changes nothing but the HBM traffic."""
     b_sz, k = batch_size, num_beams
     n = b_sz * k
     t_steps = max_length - 1
 
+    if cache_split is not None:
+        split_fn, merge_fn = cache_split
+        carry_cache, static_cache = split_fn(cache)
+    else:
+        carry_cache, static_cache = cache, None
+
     init_scores = jnp.full((b_sz, k), 0.0, jnp.float32).at[:, 1:].set(_NEG)
     carry0 = dict(
-        cache=cache,
+        cache=carry_cache,
         beam_scores=init_scores,
         last_tokens=jnp.full((b_sz, k), decoder_start_token_id, jnp.int32),
         done=jnp.zeros((b_sz,), bool),
@@ -83,19 +105,41 @@ def scan_beam(step_fn: Callable, cache, step_args: Tuple,
 
     def body(carry, t):
         cur_len = (t + 1).astype(jnp.float32)
-        logits, cache = step_fn(
-            carry["last_tokens"].reshape(n, 1), t, carry["cache"],
+        full_cache = (merge_fn(carry["cache"], static_cache)
+                      if cache_split is not None else carry["cache"])
+        logits, full_cache = step_fn(
+            carry["last_tokens"].reshape(n, 1), t, full_cache,
             *step_args)
+        cache = (split_fn(full_cache)[0] if cache_split is not None
+                 else full_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         vocab = logp.shape[-1]
-        next_scores = (logp.reshape(b_sz, k, vocab)
-                       + carry["beam_scores"][:, :, None]).reshape(b_sz, -1)
+        next3 = (logp.reshape(b_sz, k, vocab)
+                 + carry["beam_scores"][:, :, None])
         topk = min(2 * k, k * vocab)
-        # lax.top_k breaks ties by lowest index == the host's stable
-        # descending argsort
-        top_val, top_idx = jax.lax.top_k(next_scores, topk)
-        beam_id = top_idx // vocab
-        token = top_idx % vocab
+        if _TWO_STAGE_TOPK:
+            # Two-stage top-k: per-beam top-2K over vocab, then top-2K
+            # over the K*2K survivors — the large sorted axis shrinks
+            # from K*vocab to vocab.  EXACTLY tie-order equivalent to the
+            # single-stage top_k (lax.top_k ties break by lowest index):
+            # a candidate below its own beam's top-2K has 2K better-or-
+            # tied-earlier candidates in that beam alone, so it can never
+            # reach the global top-2K; within a beam, rank order IS
+            # (value, lowest-token) order, and stage 2's flat candidate
+            # index (beam*2K + rank) sorts ties by (beam, rank) == the
+            # single-stage flat index (beam*vocab + token) order.
+            t1 = min(topk, vocab)
+            pb_val, pb_tok = jax.lax.top_k(next3, t1)     # [B, K, t1]
+            top_val, cand = jax.lax.top_k(
+                pb_val.reshape(b_sz, k * t1), topk)
+            beam_id = cand // t1
+            token = jnp.take_along_axis(
+                pb_tok.reshape(b_sz, k * t1), cand, axis=1)
+        else:
+            top_val, top_idx = jax.lax.top_k(
+                next3.reshape(b_sz, -1), topk)
+            beam_id = top_idx // vocab
+            token = top_idx % vocab
         is_eos = token == eos_token_id
 
         # --- EOS candidates from ranks < K enter the pool (beam.py:109-112)
@@ -177,7 +221,8 @@ def beam_search_device(step_fn: Callable, cache, batch_size: int,
                        length_penalty: float = 1.0,
                        early_stopping: bool = True,
                        jit_cache: dict = None,
-                       step_args: Tuple = ()) -> np.ndarray:
+                       step_args: Tuple = (),
+                       cache_split=None) -> np.ndarray:
     """Drop-in for decode/beam.py:beam_search with the token loop on
     device.  step_fn(tokens [N,1], pos, cache, *step_args) -> (logits
     [N,V], cache); cache reordering happens inside the scan (no reorder_fn
@@ -186,14 +231,14 @@ def beam_search_device(step_fn: Callable, cache, batch_size: int,
     compiled scan instead of baking stale constants."""
     key = ("scan_beam", batch_size, num_beams, max_length, eos_token_id,
            pad_token_id, decoder_start_token_id, length_penalty,
-           early_stopping)
+           early_stopping, cache_split is not None)
     if jit_cache is not None and key in jit_cache:
         scan = jit_cache[key]
     else:
         scan = jax.jit(lambda cache, *args: scan_beam(
             step_fn, cache, args, batch_size, num_beams, max_length,
             eos_token_id, pad_token_id, decoder_start_token_id,
-            length_penalty, early_stopping))
+            length_penalty, early_stopping, cache_split=cache_split))
         if jit_cache is not None:
             jit_cache[key] = scan
     return finalize_from_scan(

@@ -326,6 +326,24 @@ class T5(nn.Module):
             }
         return caches
 
+    @staticmethod
+    def split_cache(cache):
+        """(self_part, cross_part) of an `init_cache` tree.  Cross K/V are
+        functions of the (beam-repeated) encoder memory only — identical
+        across the K beams of a batch item and never written during
+        decoding — so beam search carries ONLY the self part through the
+        scan (parent-gathering cross K/V every step cost ~1.9 GB/step of
+        pure HBM shuffle at b64·K4; removing it doubled beam throughput,
+        54.6 → 107.4 answers/s — PERF.md batch15)."""
+        return ({b: {"self": c["self"]} for b, c in cache.items()},
+                {b: c["cross"] for b, c in cache.items()})
+
+    @staticmethod
+    def merge_cache(self_part, cross_part):
+        """Rebuild the full `decode_step` cache from split halves."""
+        return {b: {"self": c["self"], "cross": cross_part[b]}
+                for b, c in self_part.items()}
+
     def decode_step(self, token: jax.Array, position: jax.Array,
                     enc_out: jax.Array, enc_mask: Optional[jax.Array],
                     cache: Dict) -> Tuple[jax.Array, Dict]:

@@ -334,7 +334,8 @@ class T5Trainer:
                 eos_token_id=eos, pad_token_id=tok.pad_token_id,
                 decoder_start_token_id=t5_cfg.decoder_start_token_id,
                 jit_cache=self._jitted,
-                step_args=(t5_params, enc_rep, mask_rep))
+                step_args=(t5_params, enc_rep, mask_rep),
+                cache_split=(T5.split_cache, T5.merge_cache))
         return beam_search(
             lambda t, p, c: step(t, p, c, t5_params, enc_rep, mask_rep),
             self._jitted["beam_reorder"], cache, b, k, max_len,
@@ -376,7 +377,9 @@ class T5Trainer:
                                  nb, k, max_len, eos_token_id=eos,
                                  pad_token_id=tok.pad_token_id,
                                  decoder_start_token_id=start,
-                                 length_penalty=1.0, early_stopping=True)
+                                 length_penalty=1.0, early_stopping=True,
+                                 cache_split=(T5.split_cache,
+                                              T5.merge_cache))
 
             rep = mesh_lib.replicated(self.mesh)
             data = mesh_lib.batch_sharding(self.mesh)

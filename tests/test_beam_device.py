@@ -133,6 +133,38 @@ def test_jit_cache_reuse_fresh_step_args():
     assert not np.array_equal(outs[0], outs[1])  # and saw the new args
 
 
+def test_cache_split_parity():
+    """`cache_split` (carry only the mutable cache part through the scan,
+    static beam-invariant part as a closure constant — the T5 cross-K/V
+    optimization) must be token-identical to both the unsplit device scan
+    and the host protocol."""
+    b, k, vocab, max_len = 4, 3, 19, 8
+    # static part: per-item "encoder memory", identical across the K
+    # beams of an item (like T5 cross K/V built from repeated enc_out)
+    mem = jnp.repeat(jnp.arange(b, dtype=jnp.float32) * 0.37 + 0.5, k)
+
+    def step_fn(tokens, pos, cache):
+        h = cache["mut"]["h"] * 31 + tokens[:, 0]
+        f = (h % 1009).astype(jnp.float32) + cache["static"]["m"] * 2.0
+        cols = jnp.arange(vocab, dtype=jnp.float32)
+        logits = 3.0 * jnp.sin((f[:, None] + 1.0) * (cols * 0.7 + 0.8)
+                               + pos.astype(jnp.float32) * 1.3)
+        logits = logits.at[:, 1].add(1.0)
+        return logits, {"mut": {"h": h}, "static": cache["static"]}
+
+    cache0 = {"mut": {"h": jnp.zeros((b * k,), jnp.int32)},
+              "static": {"m": mem}}
+    split = lambda c: ({"mut": c["mut"]}, {"static": c["static"]})
+    merge = lambda mut, st: {"mut": mut["mut"], "static": st["static"]}
+    common = dict(eos_token_id=1, pad_token_id=0, decoder_start_token_id=0)
+    host = beam_search(step_fn, _reorder, cache0, b, k, max_len, **common)
+    dev_plain = beam_search_device(step_fn, cache0, b, k, max_len, **common)
+    dev_split = beam_search_device(step_fn, cache0, b, k, max_len,
+                                   cache_split=(split, merge), **common)
+    np.testing.assert_array_equal(dev_plain, host)
+    np.testing.assert_array_equal(dev_split, host)
+
+
 def test_scan_beam_fused_in_outer_jit():
     """`scan_beam` must be traceable inside a LARGER jit (an "encoder" +
     the whole beam loop as one program — the serving one-jit path,
