@@ -301,6 +301,12 @@ def bench_decode(batch_size: int, steps: int):
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "mim": jax.random.key(1)},
         batch1, jnp.zeros((1, t), jnp.int32), jnp.ones((1, t), jnp.int32))
+    # one-time eval-precision cast (see bench_t5_beam; PERF.md batch16)
+    if cfg["compute_dtype"] != "float32" and \
+            os.environ.get("BENCH_EVAL_CAST", "1") == "1":
+        from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+        params = jax.jit(
+            lambda p: cast_floats(p, jnp.dtype(cfg["compute_dtype"])))(params)
     print("bench_decode: init done", flush=True)
     decoder = Decoder(model_cfg.decoder)
     dec_params = {"params": params["params"]["decoder"]}
@@ -408,6 +414,15 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "mim": jax.random.key(1)},
         batch1, jnp.zeros((1, max_len), jnp.int32))
+    # One-time eval-precision cast (classifier eval does the same in-step,
+    # trainer.py:_eval_step_fn; reference serves under fp16 AMP).  fp32
+    # master params fed the T5 stack raw -> the whole beam scan ran fp32:
+    # 2x the HBM traffic on cross K/V + lm_head (PERF.md batch16).
+    if cfg["compute_dtype"] != "float32" and \
+            os.environ.get("BENCH_EVAL_CAST", "1") == "1":
+        from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+        params = jax.jit(
+            lambda p: cast_floats(p, jnp.dtype(cfg["compute_dtype"])))(params)
     print("bench_t5_beam: init done", flush=True)
 
     m3ae = M3AE(model_cfg.m3ae)

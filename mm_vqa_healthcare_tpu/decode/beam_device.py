@@ -41,6 +41,38 @@ _NEG = -1e9
 # 60.5 answers/s same-batch — XLA's one big top_k beats two smaller sorts
 # plus the gather stitching).  Default off; knob kept for other backends.
 _TWO_STAGE_TOPK = os.environ.get("MMVQA_BEAM_TWO_STAGE", "0") == "1"
+# Candidate top-k algorithm: "rounds" (default) or "sort" (lax.top_k).
+# XLA lowers lax.top_k on TPU to a FULL O(N log N) sort of the [B,
+# K*vocab] candidate row — 143 ms/batch at b64·K4·vocab32128, 22% of the
+# whole beam batch (xplane, PERF.md batch16).  2K rounds of masked argmax
+# are 2K bandwidth-bound passes instead, and tie-order-EXACT vs lax.top_k:
+# argmax returns the first (lowest-index) maximum, and re-masking selected
+# indices yields equal values in ascending index order == top_k's
+# lowest-index-first tie rule.
+_TOPK_IMPL = os.environ.get("MMVQA_BEAM_TOPK", "rounds")
+
+
+def _topk_rounds(scores: jax.Array, k: int):
+    """Exact top-k over the last axis via k rounds of masked argmax.
+    Tie-order-identical to `lax.top_k` (lowest index wins).  Each round
+    re-masks the already-selected indices from the ORIGINAL array (a
+    fused where+reduce pass) rather than scattering into a copy.
+
+    Caveat (documented, unreachable from log_softmax outputs at K>=2): if
+    a row has fewer than k finite entries, rounds past the last finite
+    one all return the first -inf index (top_k would return distinct
+    ascending indices); every such candidate carries score -inf and is
+    discarded by the beam protocol either way."""
+    b, n = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    vals, idxs = [], []
+    eff = scores
+    for _ in range(k):
+        idx = jnp.argmax(eff, axis=1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(scores, idx[:, None], axis=1)[:, 0])
+        idxs.append(idx)
+        eff = jnp.where(col == idx[:, None], -jnp.inf, eff)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
 def _finalize_outputs(best, batch_size: int, max_length: int,
@@ -135,6 +167,10 @@ def scan_beam(step_fn: Callable, cache, step_args: Tuple,
             beam_id = cand // t1
             token = jnp.take_along_axis(
                 pb_tok.reshape(b_sz, k * t1), cand, axis=1)
+        elif _TOPK_IMPL == "rounds":
+            top_val, top_idx = _topk_rounds(next3.reshape(b_sz, -1), topk)
+            beam_id = top_idx // vocab
+            token = top_idx % vocab
         else:
             top_val, top_idx = jax.lax.top_k(
                 next3.reshape(b_sz, -1), topk)

@@ -207,6 +207,20 @@ class DecoderTrainer:
         preds = jnp.argmax(logits, axis=-1)
         return params, opt_state, loss, preds
 
+    def _eval_params(self):
+        """Params at eval precision: one-time compute-dtype cast, like the
+        classifier eval step (trainer.py:_eval_step_fn) and the reference's
+        fp16-AMP validation — fp32 master params would otherwise run the
+        whole decode at 2x the HBM traffic (PERF.md batch16)."""
+        _dt = self.config.get("compute_dtype", "float32")
+        if _dt == "float32":
+            return self.params
+        if "eval_cast" not in self._jitted:
+            from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+            self._jitted["eval_cast"] = jax.jit(
+                lambda p: cast_floats(p, jnp.dtype(_dt)))
+        return self._jitted["eval_cast"](self.params)
+
     def _token_ids(self):
         tok = self.tokenizer
         return dict(cls_id=tok.cls_token_id, sep_id=tok.sep_token_id,
@@ -325,7 +339,7 @@ class DecoderTrainer:
         for batch in dm.test_loader():
             dev_batch = self._device_batch(batch, with_targets=False)
             tokens = np.asarray(jax.device_get(
-                decode(self.params, dev_batch)))
+                decode(self._eval_params(), dev_batch)))
             real = batch.get("_real_count", tokens.shape[0])
             texts = [self.tokenizer.decode(seq, skip_special_tokens=True)
                      for seq in tokens[:real]]

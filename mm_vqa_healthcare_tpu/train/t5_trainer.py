@@ -292,20 +292,36 @@ class T5Trainer:
             arrays["t5_labels"] = np.asarray(enc["input_ids"], np.int32)
         return mesh_lib.shard_batch(self.mesh, arrays)
 
+    def _eval_params(self):
+        """Params at eval precision: one-time compute-dtype cast, like the
+        classifier eval step (trainer.py:_eval_step_fn) and the reference's
+        fp16-AMP validation.  Feeding fp32 master params into generation
+        ran the whole T5 stack (and the beam scan's cross K/V) at 2x the
+        HBM traffic (PERF.md batch16)."""
+        _dt = self.config.get("compute_dtype", "float32")
+        if _dt == "float32":
+            return self.params
+        if "eval_cast" not in self._jitted:
+            from mm_vqa_healthcare_tpu.train.trainer import cast_floats
+            self._jitted["eval_cast"] = jax.jit(
+                lambda p: cast_floats(p, jnp.dtype(_dt)))
+        return self._jitted["eval_cast"](self.params)
+
     # --------------------------------------------------------------- generate
     def generate(self, batch_dev, rng) -> np.ndarray:
         tok = self.t5_tokenizer
         t5_cfg = self.model_cfg.t5
         if self.config.get("beam_impl", "host") == "device_onejit":
             return self._generate_onejit(batch_dev, rng)
-        enc, mask = self._get_jitted("encode")(self.params, batch_dev, rng)
+        params = self._eval_params()
+        enc, mask = self._get_jitted("encode")(params, batch_dev, rng)
         b = enc.shape[0]
         k = self.num_beams
         max_len = self.config["t5_max_length"]
         enc_rep = jnp.repeat(enc, k, axis=0)
         mask_rep = jnp.repeat(mask, k, axis=0)
         t5 = T5(t5_cfg)
-        t5_params = {"params": self.params["params"]["t5"]}
+        t5_params = {"params": params["params"]["t5"]}
         cache = t5.apply(t5_params, b * k, max_len, enc_rep,
                          method=T5.init_cache)
 
@@ -365,7 +381,13 @@ class T5Trainer:
                 return t5.apply(tp, tokens, pos, enc_rep, mask_rep,
                                 cache, method=T5.decode_step)
 
+            _dt = self.config.get("compute_dtype", "float32")
+
             def onejit(params, batch_dev, rng):
+                if _dt != "float32":
+                    from mm_vqa_healthcare_tpu.train.trainer import \
+                        cast_floats
+                    params = cast_floats(params, jnp.dtype(_dt))
                 enc, mask = self._encode_fn(params, batch_dev, rng)
                 nb = enc.shape[0]          # static per trace; batch-size
                 enc_rep = jnp.repeat(enc, k, axis=0)      # changes retrace
