@@ -467,15 +467,14 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
                                method=M3AE.infer_fuse)
             enc, mask = model.apply(p, fused, batch, rng,
                                     method=T5VQAModel.encode_from)
-            enc_rep = jnp.repeat(enc, k, axis=0)
-            mask_rep = jnp.repeat(mask, k, axis=0)
             tp = {"params": p["params"]["t5"]}
-            cache = t5.apply(tp, b * k, max_len, enc_rep,
+            # cross K/V at encoder batch (beam-grouped cross-attention)
+            cache = t5.apply(tp, b * k, max_len, enc,
                              method=T5.init_cache)
             return scan_beam(
                 lambda t_, pos, c, tp_, e, m: t5.apply(
                     tp_, t_, pos, e, m, c, method=T5.decode_step),
-                cache, (tp, enc_rep, mask_rep), b, k, max_len,
+                cache, (tp, enc, mask), b, k, max_len,
                 eos_token_id=1, pad_token_id=0,
                 decoder_start_token_id=0, length_penalty=1.0,
                 early_stopping=True,
@@ -500,20 +499,23 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
         ui = jit_image(m3ae_params, batch["image"])
         fused = jit_fuse(m3ae_params, ut, ui, batch["text_masks"])
         enc, mask = jit_encode(params, fused, batch, rng)
-        enc_rep = jnp.repeat(enc, k, axis=0)
-        mask_rep = jnp.repeat(mask, k, axis=0)
-        cache = t5.apply(t5_params, b * k, max_len, enc_rep,
-                         method=T5.init_cache)
         if beam_impl == "device":
+            # cross K/V at encoder batch (beam-grouped cross-attention)
             from mm_vqa_healthcare_tpu.decode.beam_device import (
                 beam_search_device)
+            cache = t5.apply(t5_params, b * k, max_len, enc,
+                             method=T5.init_cache)
             return beam_search_device(
                 lambda t_, pos, c, p, e, m: t5.apply(
                     p, t_, pos, e, m, c, method=T5.decode_step),
                 cache, b, k, max_len, eos_token_id=1, pad_token_id=0,
                 decoder_start_token_id=0, jit_cache=scan_cache,
-                step_args=(t5_params, enc_rep, mask_rep),
+                step_args=(t5_params, enc, mask),
                 cache_split=(T5.split_cache, T5.merge_cache))
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        mask_rep = jnp.repeat(mask, k, axis=0)
+        cache = t5.apply(t5_params, b * k, max_len, enc_rep,
+                         method=T5.init_cache)
         return beam_search(
             lambda t, pos, c: jit_step(t5_params, t, pos, c, enc_rep,
                                        mask_rep),

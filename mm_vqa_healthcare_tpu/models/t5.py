@@ -137,6 +137,30 @@ class T5Attention(nn.Module):
         if cache is not None and kv is not None:
             # cross-attention with precomputed K/V
             k, v = cache["k"], cache["v"]
+            if k.shape[0] != q.shape[0]:
+                # Beam-grouped cross-attention: K/V stay at the encoder
+                # batch kb; the g = nb/kb beam replicas (identical K/V —
+                # they attend to the same encoder memory) fold into the
+                # query-length axis.  Exact vs materializing K-repeated
+                # K/V: per-element dots and softmax are unchanged, only
+                # the batching layout differs.  Cuts cross-K/V HBM
+                # residency and per-step reads by K (PERF.md batch17).
+                nb, kb = q.shape[0], k.shape[0]
+                g = nb // kb
+                if q.shape[2] != 1:
+                    raise ValueError("grouped cross-attn expects q_len==1")
+                qg = q[:, :, 0, :].reshape(kb, g, cfg.num_heads, cfg.d_kv)
+                qg = qg.transpose(0, 2, 1, 3)            # [kb, H, g, D]
+                scores = jnp.einsum("bhqd,bhkd->bhqk", qg, k,
+                                    preferred_element_type=jnp.float32)
+                if mask_bias is not None:                # [kb,1,1,L]
+                    scores = scores + mask_bias.astype(jnp.float32)
+                probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+                probs = self.attn_drop(probs, deterministic=deterministic)
+                ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+                ctx = ctx.transpose(0, 2, 1, 3).reshape(
+                    nb, cfg.num_heads, 1, cfg.d_kv)
+                return self.o(merge_heads(ctx)), cache
         else:
             k = split_heads(self.k(kv_src), cfg.num_heads)
             v = split_heads(self.v(kv_src), cfg.num_heads)

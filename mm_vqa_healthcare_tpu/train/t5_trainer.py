@@ -318,12 +318,8 @@ class T5Trainer:
         b = enc.shape[0]
         k = self.num_beams
         max_len = self.config["t5_max_length"]
-        enc_rep = jnp.repeat(enc, k, axis=0)
-        mask_rep = jnp.repeat(mask, k, axis=0)
         t5 = T5(t5_cfg)
         t5_params = {"params": params["params"]["t5"]}
-        cache = t5.apply(t5_params, b * k, max_len, enc_rep,
-                         method=T5.init_cache)
 
         if "beam_step" not in self._jitted:
             # params flow through as a traced argument — a closure capture
@@ -342,16 +338,24 @@ class T5Trainer:
         if self.config.get("beam_impl", "host") == "device":
             # whole token loop as one jitted scan — no per-token host
             # round trips (decode/beam_device.py); token-identical to the
-            # host HF protocol except bitwise score ties
+            # host HF protocol except bitwise score ties.  Cross K/V stay
+            # at the encoder batch (beam-grouped cross-attention in
+            # models/t5.py) — no K-repetition of the encoder memory.
             from mm_vqa_healthcare_tpu.decode.beam_device import (
                 beam_search_device)
+            cache = t5.apply(t5_params, b * k, max_len, enc,
+                             method=T5.init_cache)
             return beam_search_device(
                 self._jitted["beam_step_raw"], cache, b, k, max_len,
                 eos_token_id=eos, pad_token_id=tok.pad_token_id,
                 decoder_start_token_id=t5_cfg.decoder_start_token_id,
                 jit_cache=self._jitted,
-                step_args=(t5_params, enc_rep, mask_rep),
+                step_args=(t5_params, enc, mask),
                 cache_split=(T5.split_cache, T5.merge_cache))
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        mask_rep = jnp.repeat(mask, k, axis=0)
+        cache = t5.apply(t5_params, b * k, max_len, enc_rep,
+                         method=T5.init_cache)
         return beam_search(
             lambda t, p, c: step(t, p, c, t5_params, enc_rep, mask_rep),
             self._jitted["beam_reorder"], cache, b, k, max_len,
@@ -390,12 +394,11 @@ class T5Trainer:
                     params = cast_floats(params, jnp.dtype(_dt))
                 enc, mask = self._encode_fn(params, batch_dev, rng)
                 nb = enc.shape[0]          # static per trace; batch-size
-                enc_rep = jnp.repeat(enc, k, axis=0)      # changes retrace
-                mask_rep = jnp.repeat(mask, k, axis=0)
-                tp = {"params": params["params"]["t5"]}
-                cache = t5.apply(tp, nb * k, max_len, enc_rep,
+                tp = {"params": params["params"]["t5"]}  # changes retrace
+                # cross K/V at encoder batch (beam-grouped cross-attn)
+                cache = t5.apply(tp, nb * k, max_len, enc,
                                  method=T5.init_cache)
-                return scan_beam(step_fn, cache, (tp, enc_rep, mask_rep),
+                return scan_beam(step_fn, cache, (tp, enc, mask),
                                  nb, k, max_len, eos_token_id=eos,
                                  pad_token_id=tok.pad_token_id,
                                  decoder_start_token_id=start,
