@@ -282,10 +282,16 @@ def bench_decode(batch_size: int, steps: int):
     from mm_vqa_healthcare_tpu.models.decoder_model import (
         DecoderModelConfig, DecoderVQAModel)
 
-    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+    overrides = {
         "image_size": 384, "per_gpu_batchsize": batch_size,
         "compute_dtype": "bfloat16",
-        "attention_impl": os.environ.get("BENCH_ATTN", "auto")})
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto")}
+    if os.environ.get("BENCH_DECODE_MEMORY") == "full":
+        # the production decoder recipe's 610-token cross memory
+        # (run_scripts/finetune_m3ae_decoder.sh) instead of the config
+        # default CLS-only memory
+        overrides["mm_encoder_inputs_include_imagetext_feats"] = True
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], overrides)
     model_cfg = DecoderModelConfig.from_dict(cfg)
     model = DecoderVQAModel(model_cfg)
     b, s = batch_size, cfg["max_text_len"]

@@ -32,7 +32,7 @@ def greedy_search(decoder: Decoder, params, enc_feats: jax.Array,
     max_len = cfg.max_len
     tokens0 = jnp.full((b, max_len + 1), pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(cls_id)
-    cache0 = decoder.apply(params, b, enc_feats.dtype,
+    cache0 = decoder.apply(params, b, enc_feats.dtype, enc_feats,
                            method=Decoder.init_cache)
     finished0 = jnp.zeros((b,), jnp.bool_)
 
@@ -117,11 +117,13 @@ def greedy_search_host(decoder: Decoder, params, enc_feats: jax.Array,
             return toks.T, cache  # [b, k]
         jit_cache[("chunk", chunk)] = step
     if "init_cache" not in jit_cache:
+        # enc as a traced ARG (closure captures serialize as HLO
+        # constants into remote-compile requests)
         jit_cache["init_cache"] = jax.jit(
-            lambda p: decoder.apply(p, b, enc_feats.dtype,
-                                    method=Decoder.init_cache))
+            lambda p, e: decoder.apply(p, b, e.dtype, e,
+                                       method=Decoder.init_cache))
     step = jit_cache[("chunk", chunk)]
-    cache = jit_cache["init_cache"](params)
+    cache = jit_cache["init_cache"](params, enc_feats)
     tokens = np.full((b, max_len + 1), pad_id, np.int32)
     tokens[:, 0] = cls_id
     finished = np.zeros(b, bool)

@@ -73,9 +73,17 @@ class DecoderLayer(nn.Module):
                  self_bias: Optional[jax.Array],
                  deterministic: bool = True,
                  cache: Optional[Dict[str, jax.Array]] = None,
-                 cache_index: Optional[jax.Array] = None):
+                 cache_index: Optional[jax.Array] = None,
+                 precompute_cross: bool = False):
         cfg = self.cfg
         from mm_vqa_healthcare_tpu.models.layers import LayerNorm
+        if precompute_cross:
+            # project the encoder memory into this layer's cross K/V once
+            # (x is unused; see MultiHeadAttention precompute_kv)
+            return MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
+                                      cfg.dropout, name="mha2")(
+                enc_output, enc_output, enc_output, precompute_kv=True)
+        cross_kv = cache.get("cross") if cache is not None else None
         residual = x
         h = LayerNorm(name="pre_norm")(x)
         mha1 = MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
@@ -83,15 +91,23 @@ class DecoderLayer(nn.Module):
         if cache is None:
             attn1 = mha1(h, h, h, self_bias, deterministic=deterministic)
         else:
-            attn1, cache = mha1(h, h, h, None, cache=cache,
-                                cache_index=cache_index)
+            attn1, self_kv = mha1(h, h, h, None,
+                                  cache={"k": cache["k"], "v": cache["v"]},
+                                  cache_index=cache_index)
+            cache = dict(self_kv) if cross_kv is None \
+                else dict(self_kv, cross=cross_kv)
         x = residual + nn.Dropout(cfg.dropout)(attn1,
                                                deterministic=deterministic)
         residual = x
         x = LayerNorm(name="layernorm1")(x)
-        attn2 = MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
-                                   cfg.dropout, name="mha2")(
-            x, enc_output, enc_output, deterministic=deterministic)
+        mha2 = MultiHeadAttention(cfg.num_heads, cfg.attention_impl,
+                                  cfg.dropout, name="mha2")
+        if cross_kv is not None:
+            attn2 = mha2(x, enc_output, enc_output, kv_cache=cross_kv,
+                         deterministic=deterministic)
+        else:
+            attn2 = mha2(x, enc_output, enc_output,
+                         deterministic=deterministic)
         x = nn.Dropout(cfg.dropout)(attn2, deterministic=deterministic)
         x = x + residual
         residual = x
@@ -162,17 +178,29 @@ class Decoder(nn.Module):
         return self.final_linear(out)
 
     # -- incremental decode --------------------------------------------------
-    def init_cache(self, batch: int, dtype=jnp.float32):
+    def init_cache(self, batch: int, dtype=jnp.float32, enc_output=None):
+        """Self-attn K/V buffers (+ precomputed cross K/V when the encoder
+        memory is passed — its projections never change during decoding,
+        so they run once per batch instead of once per token; the
+        reference re-projects every step via the full-prefix re-forward,
+        m3ae_decoder.py:149-181)."""
         cfg = self.cfg
         dh = cfg.d_model // cfg.num_heads
         layers = ([cfg.num_layers - 1] if cfg.bug_compat
                   else list(range(cfg.num_layers)))
-        return {
-            f"layer_{i}": {
-                "k": jnp.zeros((batch, cfg.num_heads, cfg.max_len + 1, dh), dtype),
-                "v": jnp.zeros((batch, cfg.num_heads, cfg.max_len + 1, dh), dtype),
-            } for i in layers
-        }
+        out = {}
+        for i in layers:
+            c = {
+                "k": jnp.zeros((batch, cfg.num_heads, cfg.max_len + 1, dh),
+                               dtype),
+                "v": jnp.zeros((batch, cfg.num_heads, cfg.max_len + 1, dh),
+                               dtype),
+            }
+            if enc_output is not None:
+                c["cross"] = self.dec_layers[i](
+                    enc_output, enc_output, None, precompute_cross=True)
+            out[f"layer_{i}"] = c
+        return out
 
     def decode_step(self, token: jax.Array, position: jax.Array,
                     cross_attn_feats: jax.Array, cache: Dict):

@@ -97,13 +97,34 @@ class MultiHeadAttention(nn.Module):
                  bias: Optional[jax.Array] = None,
                  cache: Optional[dict] = None,
                  cache_index: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 kv_cache: Optional[dict] = None,
+                 precompute_kv: bool = False):
         d = query.shape[-1]
         in_proj_w = self.param("in_proj_kernel", nn.initializers.normal(0.02),
                                (d, 3 * d), jnp.float32)
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros,
                                (3 * d,), jnp.float32)
         dtype = query.dtype
+        if precompute_kv:
+            # Static K/V precompute for incremental cross-attention: the
+            # encoder memory never changes during decoding, so its K/V
+            # projections run ONCE per batch instead of once per token
+            # (reference re-projects every step via the full-prefix
+            # re-forward, m3ae_decoder.py:149-181).
+            _, wk, wv = jnp.split(in_proj_w.astype(dtype), 3, axis=1)
+            _, bk, bv = jnp.split(in_proj_b.astype(dtype), 3)
+            return {"k": split_heads(jnp.dot(key, wk) + bk, self.num_heads),
+                    "v": split_heads(jnp.dot(value, wv) + bv,
+                                     self.num_heads)}
+        if kv_cache is not None:
+            # cross-attention against precomputed K/V: q-only projection
+            wq = jnp.split(in_proj_w.astype(dtype), 3, axis=1)[0]
+            bq = jnp.split(in_proj_b.astype(dtype), 3)[0]
+            q = split_heads(jnp.dot(query, wq) + bq, self.num_heads)
+            ctx = dot_product_attention(q, kv_cache["k"], kv_cache["v"],
+                                        bias, impl="xla")
+            return Dense(d, name="out_proj")(merge_heads(ctx))
         if key is query and value is query:
             # self-attention: one packed [D,3D] matmul feeds the MXU better
             # than three D×D ones
