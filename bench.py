@@ -542,6 +542,87 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     return b / dt, dt
 
 
+def bench_gen_train(mode: str, batch_size: int, steps: int, dtype: str):
+    """Generative-head fine-tune TRAIN step (fwd+bwd+optimizer), through
+    the real trainers: BENCH_MODE=decoder_train (reference
+    finetune_m3ae_decoder.sh recipe incl. its 610-token cross memory) or
+    t5_train (reference main_t5_m3ae.py flow: frozen M3AE, soft-prompt
+    encoder inputs, unfreeze_top_layers partition)."""
+    from mm_vqa_healthcare_tpu.config import compose
+    from mm_vqa_healthcare_tpu.parallel import mesh as mesh_lib
+
+    overrides = {
+        "image_size": 384, "per_gpu_batchsize": batch_size,
+        "batch_size": batch_size * jax.device_count(),
+        "compute_dtype": dtype, "max_steps": 1000, "warmup_steps": 0,
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto"),
+    }
+    rng = np.random.default_rng(0)
+    b, s = batch_size, 32
+    base = {
+        "image": rng.normal(size=(b, 384, 384, 3)).astype(np.float32),
+        "text_ids": rng.integers(0, 30000, (b, s)).astype(np.int32),
+        "text_masks": np.ones((b, s), np.int32),
+    }
+    if mode == "decoder_train":
+        # the run-script recipe enables the full imagetext cross memory
+        overrides["mm_encoder_inputs_include_imagetext_feats"] = True
+        cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], overrides)
+        from mm_vqa_healthcare_tpu.models.decoder_model import (
+            DecoderModelConfig, DecoderVQAModel)
+        from mm_vqa_healthcare_tpu.train.decoder_trainer import (
+            DecoderTrainer)
+        trainer = DecoderTrainer(cfg)
+        trainer.model_cfg = DecoderModelConfig.from_dict(cfg)
+        trainer.model = DecoderVQAModel(trainer.model_cfg)
+
+        class _Tok:  # the jitted step only reads pad_token_id
+            pad_token_id = 0
+        trainer.tokenizer = _Tok()
+        t = trainer.max_answer_length - 1
+        base["target_shifted"] = rng.integers(1, 30000, (b, t)).astype(
+            np.int32)
+        base["padding_mask"] = np.ones((b, t), np.int32)
+        base["target_golden"] = rng.integers(1, 30000, (b, t)).astype(
+            np.int32)
+    else:
+        cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], overrides)
+        from mm_vqa_healthcare_tpu.train.t5_trainer import T5Trainer
+
+        class _StubT5Tok:
+            """Bench-only stand-in (zero-egress host): fixed prefix ids —
+            they only select which embedding rows form the soft prompt."""
+            pad_token_id = 0
+            eos_token_id = 1
+
+            def __call__(self, text, **kw):
+                return {"input_ids": [822, 10]}
+
+            def __len__(self):
+                return 32128
+        trainer = T5Trainer(cfg, tokenizer=_StubT5Tok())
+        base["t5_labels"] = rng.integers(
+            1, 32000, (b, cfg["t5_max_length"])).astype(np.int32)
+    trainer.init_params()
+    trainer.setup_optimizer(steps_per_epoch=100)
+    print(f"bench_{mode}: init done", flush=True)
+    batch_dev = mesh_lib.shard_batch(trainer.mesh, base)
+    step = trainer._get_jitted("train")
+    params, opt = trainer.params, trainer.opt_state
+    key = jax.random.key(0)
+    out = step(params, opt, batch_dev, key)
+    params, opt = out[0], out[1]
+    jax.device_get(out[2])
+    print(f"bench_{mode}: warmup step done", flush=True)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = step(params, opt, batch_dev, jax.random.fold_in(key, i + 1))
+        params, opt = out[0], out[1]
+    jax.device_get(out[2])
+    dt = (time.perf_counter() - t0) / steps
+    return b / dt, dt
+
+
 def main():
     mode_for_batch = os.environ.get("BENCH_MODE", "train")
     # per-chip batch 32 amortizes the once-per-step optimizer on the train
@@ -573,6 +654,22 @@ def main():
                        "step_time_ms": round(step_s * 1000, 2),
                        "baseline_note": f"A6000 torch-eager estimate "
                                         f"{baseline} samples/s"},
+        }))
+        return
+    if mode in ("decoder_train", "t5_train"):
+        batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+        sps, step_s = bench_gen_train(mode, batch_size, steps, dtype)
+        baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
+        print(json.dumps({
+            "metric": f"vqa_rad_{mode}_samples_per_sec_per_chip",
+            "value": round(sps / jax.device_count(), 2),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(sps / jax.device_count() / baseline, 3),
+            "detail": {"per_chip_batch": batch_size, "dtype": dtype,
+                       "step_time_ms": round(step_s * 1000, 2),
+                       "baseline_note": "A6000 torch-eager classifier-step "
+                                        "anchor estimate 60 samples/s "
+                                        "(BASELINE.md)"},
         }))
         return
     if mode == "t5_beam":
