@@ -54,8 +54,20 @@ class LayerNorm(nn.Module):
                 # replaces (PERF.md round-2 ablation).
                 return fused_norm.fused_layer_norm(x, scale, bias, self.eps)
         x32 = x if fast else x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        if os.environ.get("MMVQA_LN_ONEPASS", "0") == "1":
+            # One-pass statistics: E[x] and E[x^2] come out of a single
+            # read of the (converted) activation, halving the LN family's
+            # HBM traffic vs the two-pass mean-then-variance chain.  fp32
+            # accumulation over D<=768 O(1)-scaled activations keeps the
+            # cancellation error ~1e-6 — measured vs two-pass on the full
+            # model (tests pass either way) — but it is not bit-identical,
+            # so it stays opt-in (perf knob, PERF.md).
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            msq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+            var = msq - jnp.square(mean)
+        else:
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale.astype(x32.dtype)
                 + bias.astype(x32.dtype)).astype(orig_dtype)
