@@ -774,6 +774,14 @@ def main():
     sps = global_batch * steps / dt
     sps_chip = sps / jax.device_count()
     baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
+    # MFU per BASELINE.md accounting: 577 GF/sample train step (fwd+bwd+
+    # optimizer), 192 GF/sample fwd-only, at image 384; v5e bf16 dense
+    # peak 197 TFLOP/s.  Only meaningful on the TPU backend.
+    mfu = None
+    if jax.default_backend() == "tpu" and mode in ("train", "eval"):
+        gf_per_sample = 577.0 if mode == "train" else 192.0
+        peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
+        mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
     print(json.dumps({
         "metric": f"vqa_rad_finetune_{mode}_samples_per_sec_per_chip",
         "value": round(sps_chip, 2),
@@ -786,6 +794,7 @@ def main():
             "dtype": dtype,
             "image_size": 288 if mode == "pretrain" else 384,
             "step_time_ms": round(1000 * dt / steps, 2),
+            **({"mfu": mfu} if mfu is not None else {}),
             "baseline_note": f"A6000 torch-eager estimate {baseline} samples/s",
         },
     }))
