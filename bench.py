@@ -609,17 +609,33 @@ def bench_gen_train(mode: str, batch_size: int, steps: int, dtype: str):
     batch_dev = mesh_lib.shard_batch(trainer.mesh, base)
     step = trainer._get_jitted("train")
     params, opt = trainer.params, trainer.opt_state
-    key = jax.random.key(0)
+    # same PRNG family as the trainers' fit() (rbg on TPU — hardware RNG)
+    from mm_vqa_healthcare_tpu.train.trainer import make_train_key
+    key = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
     out = step(params, opt, batch_dev, key)
     params, opt = out[0], out[1]
     jax.device_get(out[2])
+    # SECOND warmup with the carried params/opt: the first carry changes
+    # the jit signature (donated-output layouts / optax state types differ
+    # from tx.init's) and triggers ONE retrace+recompile — absorb it here
+    # like the classifier bench does, or a 50-step window averages a
+    # ~160 s compile into every step (measured: 3278 ms/step reported vs
+    # ~45 ms warm — batch19 postmortem).
+    out = step(params, opt, batch_dev, jax.random.fold_in(key, 9999))
+    params, opt = out[0], out[1]
+    jax.device_get(out[2])
     print(f"bench_{mode}: warmup step done", flush=True)
+    profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(steps):
         out = step(params, opt, batch_dev, jax.random.fold_in(key, i + 1))
         params, opt = out[0], out[1]
     jax.device_get(out[2])
     dt = (time.perf_counter() - t0) / steps
+    if profile_dir:
+        jax.profiler.stop_trace()
     return b / dt, dt
 
 

@@ -56,12 +56,12 @@ class LayerNorm(nn.Module):
         x32 = x if fast else x.astype(jnp.float32)
         if os.environ.get("MMVQA_LN_ONEPASS", "0") == "1":
             # One-pass statistics: E[x] and E[x^2] come out of a single
-            # read of the (converted) activation, halving the LN family's
-            # HBM traffic vs the two-pass mean-then-variance chain.  fp32
-            # accumulation over D<=768 O(1)-scaled activations keeps the
-            # cancellation error ~1e-6 — measured vs two-pass on the full
-            # model (tests pass either way) — but it is not bit-identical,
-            # so it stays opt-in (perf knob, PERF.md).
+            # read of the (converted) activation.  MEASURED SLOWER on the
+            # train lane (batch19: 170.6 vs 174.6 samples/s within-batch)
+            # — XLA already fuses the two-pass chain into one activation
+            # read per consumer, so this only reorders elementwise work.
+            # Kept as an opt-in experiment record; ~1e-6 fp32 deviation
+            # (cancellation), tests pass either way.
             mean = jnp.mean(x32, axis=-1, keepdims=True)
             msq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
             var = msq - jnp.square(mean)

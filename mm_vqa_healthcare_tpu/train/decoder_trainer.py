@@ -148,20 +148,32 @@ class DecoderTrainer:
                 labels[path] = "frozen"
             else:
                 labels[path] = leaf_label([str(p) for p in path])
-        self.tx = optax.multi_transform(
-            {"decay": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
-                                  weight_decay=wd),
-             "nd": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
-                               weight_decay=0.0),
-             "frozen": optax.set_to_zero()},
-            unflatten(labels))
         per_dev = cfg["per_gpu_batchsize"] or cfg["batch_size"]
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         self.grad_accum_steps = max(
             1, cfg["batch_size"] // (per_dev * data_devices))
-        if self.grad_accum_steps > 1:
-            self.tx = optax.MultiSteps(self.tx,
-                                       every_k_schedule=self.grad_accum_steps)
+        if (self.grad_accum_steps == 1
+                and cfg.get("fused_optimizer", True)
+                and cfg.get("optim_type", "adamw") == "adamw"):
+            # one fused multi-output update per trainable leaf; frozen
+            # leaves carry no moments and pass through (see optim.py —
+            # also avoids optax.multi_transform's MaskedNode structure
+            # flip that forces a retrace on step 2)
+            from mm_vqa_healthcare_tpu.train.optim import LeafFusedAdamW
+            self.tx = LeafFusedAdamW({"decay": sched, "nd": sched},
+                                     {"decay": wd, "nd": 0.0},
+                                     unflatten(labels))
+        else:
+            self.tx = optax.multi_transform(
+                {"decay": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
+                                      weight_decay=wd),
+                 "nd": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
+                                   weight_decay=0.0),
+                 "frozen": optax.set_to_zero()},
+                unflatten(labels))
+            if self.grad_accum_steps > 1:
+                self.tx = optax.MultiSteps(
+                    self.tx, every_k_schedule=self.grad_accum_steps)
         self.opt_state = jax.jit(self.tx.init)(self.params)
 
     # ---------------------------------------------------------- target build
@@ -192,6 +204,14 @@ class DecoderTrainer:
             if cast_dt is not None:
                 from mm_vqa_healthcare_tpu.train.trainer import cast_floats
                 p = cast_floats(p, cast_dt)
+            # The M3AE backbone is frozen (reference DecoderModel sets
+            # requires_grad=False, m3ae_decoder.py:213-216) — stop_gradient
+            # prunes its entire backward from the step; its optax updates
+            # were set_to_zero anyway, so numerics are unchanged.
+            p = dict(p)
+            pp = dict(p["params"])
+            pp["m3ae"] = jax.lax.stop_gradient(pp["m3ae"])
+            p["params"] = pp
             logits = self.model.apply(
                 p, batch, batch["target_shifted"], batch["padding_mask"],
                 deterministic=False, rngs={"dropout": rng})
@@ -202,8 +222,11 @@ class DecoderTrainer:
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if hasattr(self.tx, "update_fused"):
+            params, opt_state = self.tx.update_fused(grads, opt_state, params)
+        else:
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         preds = jnp.argmax(logits, axis=-1)
         return params, opt_state, loss, preds
 

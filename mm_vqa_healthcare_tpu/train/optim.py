@@ -163,16 +163,32 @@ class LeafFusedAdamW:
         self._wds = wds                      # group -> weight decay
         self._labels = flatten(labels)       # leaf path -> group
         self._b1, self._b2, self._eps = b1, b2, eps
+        # Opt-in experiment: store Adam moments below fp32
+        # (MMVQA_OPT_MOMENTS_DTYPE=bfloat16 cuts optimizer HBM traffic
+        # 28->20 bytes/param/step; stats still accumulate in fp32 inside
+        # the fusion).  Default fp32 — bit-parity with optax.adamw; bf16
+        # second moments lose ~3 decimal digits and can destabilize long
+        # runs, so this is a measured knob, not a default.
+        import os
+        self._mdtype = jnp.dtype(
+            os.environ.get("MMVQA_OPT_MOMENTS_DTYPE", "float32"))
 
     @staticmethod
     def _is_float(x):
         return jnp.issubdtype(jnp.result_type(x), jnp.floating)
 
     def init(self, params):
+        """Leaves labeled "frozen" get NO moments — update_fused passes
+        them through untouched (the reference's requires_grad=False
+        semantics for frozen backbones; optax.set_to_zero equivalent
+        without the multi_transform MaskedNode structure, which is
+        UNSTABLE between init and the jitted update's output and forces a
+        full retrace+recompile on the second training step)."""
         from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
         fp = flatten(params)
-        zeros = {k: jnp.zeros(v.shape, jnp.float32)
-                 for k, v in fp.items() if self._is_float(v)}
+        zeros = {k: jnp.zeros(v.shape, self._mdtype)
+                 for k, v in fp.items()
+                 if self._is_float(v) and self._labels.get(k) != "frozen"}
         return {"count": jnp.zeros((), jnp.int32),
                 "mu": unflatten(zeros), "nu": unflatten(zeros)}
 
@@ -196,14 +212,17 @@ class LeafFusedAdamW:
             label = self._labels[path]
             g32 = fg[path].astype(jnp.float32)
             p32 = p.astype(jnp.float32)
-            mu = (1.0 - self._b1) * g32 + self._b1 * fmu[path]
-            nu = (1.0 - self._b2) * (g32 * g32) + self._b2 * fnu[path]
+            mu = (1.0 - self._b1) * g32 + self._b1 * fmu[path].astype(
+                jnp.float32)
+            nu = (1.0 - self._b2) * (g32 * g32) + self._b2 * fnu[path].astype(
+                jnp.float32)
             u = (mu / bc1) / (jnp.sqrt(nu / bc2) + self._eps)
             wd = self._wds[label]
             if wd:
                 u = u + wd * p32
             new_p[path] = (p32 - lrs[label] * u).astype(p.dtype)
-            new_mu[path], new_nu[path] = mu, nu
+            new_mu[path] = mu.astype(self._mdtype)
+            new_nu[path] = nu.astype(self._mdtype)
         return unflatten(new_p), {"count": count_inc,
                                   "mu": unflatten(new_mu),
                                   "nu": unflatten(new_nu)}

@@ -210,18 +210,29 @@ class T5Trainer:
         labels = {p: self._trainable_label(p) for p in flat}
         n_train = sum(1 for v in labels.values() if v == "train")
         print(f"Trainable tensors: {n_train}/{len(labels)}")
-        self.tx = optax.multi_transform(
-            {"train": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
-                                  weight_decay=cfg["weight_decay"]),
-             "frozen": optax.set_to_zero()},
-            unflatten(labels))
         per_dev = cfg["per_gpu_batchsize"] or cfg["batch_size"]
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         self.grad_accum_steps = max(
             1, cfg["batch_size"] // (per_dev * data_devices))
-        if self.grad_accum_steps > 1:
-            self.tx = optax.MultiSteps(self.tx,
-                                       every_k_schedule=self.grad_accum_steps)
+        if (self.grad_accum_steps == 1
+                and cfg.get("fused_optimizer", True)
+                and cfg.get("optim_type", "adamw") == "adamw"):
+            # frozen leaves carry no moments and pass through; also avoids
+            # optax.multi_transform's MaskedNode structure flip that
+            # forces a retrace+recompile on step 2 (see optim.py)
+            from mm_vqa_healthcare_tpu.train.optim import LeafFusedAdamW
+            self.tx = LeafFusedAdamW({"train": sched},
+                                     {"train": cfg["weight_decay"]},
+                                     unflatten(labels))
+        else:
+            self.tx = optax.multi_transform(
+                {"train": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
+                                      weight_decay=cfg["weight_decay"]),
+                 "frozen": optax.set_to_zero()},
+                unflatten(labels))
+            if self.grad_accum_steps > 1:
+                self.tx = optax.MultiSteps(
+                    self.tx, every_k_schedule=self.grad_accum_steps)
         self.opt_state = jax.jit(self.tx.init)(self.params)
 
     # ------------------------------------------------------------------ steps
@@ -237,6 +248,17 @@ class T5Trainer:
             if cast_dt is not None:
                 from mm_vqa_healthcare_tpu.train.trainer import cast_floats
                 p = cast_floats(p, cast_dt)
+            # Frozen leaves (M3AE + non-top T5 layers) take no gradient —
+            # stop_gradient lets XLA prune their whole backward, like the
+            # reference's requires_grad=False (m3ae_t5_mm_encoder_input.py
+            # :79-98); their optax updates were set_to_zero anyway, so the
+            # parameter trajectory is identical.
+            from mm_vqa_healthcare_tpu.checkpoint.convert import (
+                flatten, unflatten)
+            fp = flatten(p)
+            p = unflatten({k: (jax.lax.stop_gradient(v)
+                               if self._trainable_label(k) == "frozen" else v)
+                           for k, v in fp.items()})
             logits = self.model.apply(
                 p, batch, batch["t5_labels"], rng=jax.random.fold_in(rng, 1),
                 deterministic=False, rngs={"dropout": rng})
@@ -249,8 +271,11 @@ class T5Trainer:
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if hasattr(self.tx, "update_fused"):
+            params, opt_state = self.tx.update_fused(grads, opt_state, params)
+        else:
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     def _encode_fn(self, params, batch, rng):
