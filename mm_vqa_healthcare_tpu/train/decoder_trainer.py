@@ -152,17 +152,17 @@ class DecoderTrainer:
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         self.grad_accum_steps = max(
             1, cfg["batch_size"] // (per_dev * data_devices))
-        if (self.grad_accum_steps == 1
-                and cfg.get("fused_optimizer", True)
+        if (cfg.get("fused_optimizer", True)
                 and cfg.get("optim_type", "adamw") == "adamw"):
             # one fused multi-output update per trainable leaf; frozen
-            # leaves carry no moments and pass through (see optim.py —
-            # also avoids optax.multi_transform's MaskedNode structure
-            # flip that forces a retrace on step 2)
+            # leaves carry no moments and pass through; native accum (see
+            # optim.py — also avoids optax.multi_transform's MaskedNode
+            # structure flip that forces a retrace on step 2)
             from mm_vqa_healthcare_tpu.train.optim import LeafFusedAdamW
             self.tx = LeafFusedAdamW({"decay": sched, "nd": sched},
                                      {"decay": wd, "nd": 0.0},
-                                     unflatten(labels))
+                                     unflatten(labels),
+                                     accum_steps=self.grad_accum_steps)
         else:
             self.tx = optax.multi_transform(
                 {"decay": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,

@@ -157,12 +157,20 @@ class LeafFusedAdamW:
     """
 
     def __init__(self, schedules, wds, labels,
-                 b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8):
+                 b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8,
+                 accum_steps: int = 1):
         from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
         self._schedules = schedules          # group -> schedule(count)->lr
         self._wds = wds                      # group -> weight decay
         self._labels = flatten(labels)       # leaf path -> group
         self._b1, self._b2, self._eps = b1, b2, eps
+        # Native gradient accumulation (optax.MultiSteps equivalent):
+        # running-mean accumulators for trainable leaves, one lax.cond
+        # applies the fused update every `accum_steps` micro-steps.
+        # Replaces MultiSteps for the fused path — MultiSteps wraps
+        # multi_transform, whose MaskedNode state structure flips between
+        # init and the jitted update and forces a step-2 retrace.
+        self._accum = max(1, int(accum_steps))
         # Opt-in experiment: store Adam moments below fp32
         # (MMVQA_OPT_MOMENTS_DTYPE=bfloat16 cuts optimizer HBM traffic
         # 28->20 bytes/param/step; stats still accumulate in fp32 inside
@@ -189,33 +197,35 @@ class LeafFusedAdamW:
         zeros = {k: jnp.zeros(v.shape, self._mdtype)
                  for k, v in fp.items()
                  if self._is_float(v) and self._labels.get(k) != "frozen"}
-        return {"count": jnp.zeros((), jnp.int32),
-                "mu": unflatten(zeros), "nu": unflatten(zeros)}
+        state = {"count": jnp.zeros((), jnp.int32),
+                 "mu": unflatten(zeros), "nu": unflatten(zeros)}
+        if self._accum > 1:
+            state["micro"] = jnp.zeros((), jnp.int32)
+            state["acc"] = unflatten({k: jnp.zeros(v.shape, jnp.float32)
+                                      for k, v in zeros.items()})
+        return state
 
-    def update_fused(self, grads, state, params):
-        """(grads, state, params) -> (new_params, new_state)."""
-        from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
-        count = state["count"]
+    def _leaf_updates(self, g32, fp, fmu, fnu, count):
+        """The fused per-leaf AdamW math over the trainable leaves.
+
+        g32: fp32 gradient (or accumulated mean) per trainable path.
+        Returns (new_p, new_mu, new_nu) dicts over exactly fmu's paths.
+        """
         count_inc = count + 1
         t = count_inc.astype(jnp.float32)
         bc1 = 1.0 - jnp.asarray(self._b1, jnp.float32) ** t
         bc2 = 1.0 - jnp.asarray(self._b2, jnp.float32) ** t
         lrs = {g: jnp.asarray(s(count), jnp.float32)
                for g, s in self._schedules.items()}
-
-        fg, fp = flatten(grads), flatten(params)
-        fmu, fnu = flatten(state["mu"]), flatten(state["nu"])
-        new_p, new_mu, new_nu = dict(fp), {}, {}
-        for path, p in fp.items():
-            if path not in fmu:
-                continue
+        new_p, new_mu, new_nu = {}, {}, {}
+        for path in fmu:
+            p = fp[path]
             label = self._labels[path]
-            g32 = fg[path].astype(jnp.float32)
             p32 = p.astype(jnp.float32)
-            mu = (1.0 - self._b1) * g32 + self._b1 * fmu[path].astype(
+            mu = (1.0 - self._b1) * g32[path] + self._b1 * fmu[path].astype(
                 jnp.float32)
-            nu = (1.0 - self._b2) * (g32 * g32) + self._b2 * fnu[path].astype(
-                jnp.float32)
+            nu = ((1.0 - self._b2) * (g32[path] * g32[path])
+                  + self._b2 * fnu[path].astype(jnp.float32))
             u = (mu / bc1) / (jnp.sqrt(nu / bc2) + self._eps)
             wd = self._wds[label]
             if wd:
@@ -223,9 +233,53 @@ class LeafFusedAdamW:
             new_p[path] = (p32 - lrs[label] * u).astype(p.dtype)
             new_mu[path] = mu.astype(self._mdtype)
             new_nu[path] = nu.astype(self._mdtype)
-        return unflatten(new_p), {"count": count_inc,
-                                  "mu": unflatten(new_mu),
-                                  "nu": unflatten(new_nu)}
+        return new_p, new_mu, new_nu
+
+    def update_fused(self, grads, state, params):
+        """(grads, state, params) -> (new_params, new_state)."""
+        from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+        count = state["count"]
+        fg, fp = flatten(grads), flatten(params)
+        fmu, fnu = flatten(state["mu"]), flatten(state["nu"])
+
+        if self._accum <= 1:
+            g32 = {k: fg[k].astype(jnp.float32) for k in fmu}
+            up, umu, unu = self._leaf_updates(g32, fp, fmu, fnu, count)
+            new_p = dict(fp)
+            new_p.update(up)
+            return unflatten(new_p), {"count": count + 1,
+                                      "mu": unflatten(umu),
+                                      "nu": unflatten(unu)}
+
+        # ---- accumulation: running mean like optax.MultiSteps, apply on
+        # the k-th micro-step via ONE cond (skip branch touches nothing)
+        micro = state["micro"]
+        facc = flatten(state["acc"])
+        denom = (micro + 1).astype(jnp.float32)
+        acc_new = {k: facc[k] + (fg[k].astype(jnp.float32) - facc[k]) / denom
+                   for k in facc}
+        is_apply = (micro + 1) >= self._accum
+        fp_tr = {k: fp[k] for k in fmu}
+
+        def apply_fn(ops):
+            fp_, fmu_, fnu_, acc_, cnt = ops
+            up, umu, unu = self._leaf_updates(acc_, fp_, fmu_, fnu_, cnt)
+            zero_acc = {k: jnp.zeros_like(v) for k, v in acc_.items()}
+            return up, umu, unu, zero_acc, cnt + 1
+
+        def skip_fn(ops):
+            fp_, fmu_, fnu_, acc_, cnt = ops
+            return dict(fp_), dict(fmu_), dict(fnu_), dict(acc_), cnt
+
+        up, umu, unu, acc_out, count_out = jax.lax.cond(
+            is_apply, apply_fn, skip_fn, (fp_tr, fmu, fnu, acc_new, count))
+        micro_out = jnp.where(is_apply, 0, micro + 1)
+        new_p = dict(fp)
+        new_p.update(up)
+        return unflatten(new_p), {"count": count_out, "micro": micro_out,
+                                  "mu": unflatten(umu),
+                                  "nu": unflatten(unu),
+                                  "acc": unflatten(acc_out)}
 
 
 class FusedAdamW:
@@ -339,7 +393,7 @@ def build_optimizer(config: Dict[str, Any], params, model_cfg,
     labels = label_params(params, model_cfg)
     use_fused = (fused if fused is not None
                  else config.get("fused_optimizer", True))
-    if use_fused and optim_type == "adamw" and grad_accum_steps == 1:
+    if use_fused and optim_type == "adamw":
         scheds = {"base": make_sched(lr), "base_nd": make_sched(lr),
                   "head": make_sched(lr * mult_head),
                   "head_nd": make_sched(lr * mult_head),
@@ -347,11 +401,13 @@ def build_optimizer(config: Dict[str, Any], params, model_cfg,
                   "mm_nd": make_sched(lr * mult_mm)}
         wds = {"base": wd, "base_nd": 0.0, "head": wd, "head_nd": 0.0,
                "mm": wd, "mm_nd": 0.0}
-        if use_fused == "flat":
+        if use_fused == "flat" and grad_accum_steps == 1:
             # flat-buffer variant: loses to per-leaf on this XLA version
             # (PERF.md round-2 ablation); kept for re-evaluation
             return FusedAdamW(scheds, wds, labels), make_sched(lr)
-        return LeafFusedAdamW(scheds, wds, labels), make_sched(lr)
+        return (LeafFusedAdamW(scheds, wds, labels,
+                               accum_steps=grad_accum_steps),
+                make_sched(lr))
     groups = {
         "base": _single_group(optim_type, make_sched(lr), wd),
         "base_nd": _single_group(optim_type, make_sched(lr), 0.0),

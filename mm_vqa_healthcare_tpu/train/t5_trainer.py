@@ -214,16 +214,17 @@ class T5Trainer:
         data_devices = self.mesh.devices.shape[0] * cfg.get("num_nodes", 1)
         self.grad_accum_steps = max(
             1, cfg["batch_size"] // (per_dev * data_devices))
-        if (self.grad_accum_steps == 1
-                and cfg.get("fused_optimizer", True)
+        if (cfg.get("fused_optimizer", True)
                 and cfg.get("optim_type", "adamw") == "adamw"):
-            # frozen leaves carry no moments and pass through; also avoids
-            # optax.multi_transform's MaskedNode structure flip that
-            # forces a retrace+recompile on step 2 (see optim.py)
+            # frozen leaves carry no moments and pass through; native
+            # accum; also avoids optax.multi_transform's MaskedNode
+            # structure flip that forces a retrace+recompile on step 2
+            # (see optim.py)
             from mm_vqa_healthcare_tpu.train.optim import LeafFusedAdamW
             self.tx = LeafFusedAdamW({"train": sched},
                                      {"train": cfg["weight_decay"]},
-                                     unflatten(labels))
+                                     unflatten(labels),
+                                     accum_steps=self.grad_accum_steps)
         else:
             self.tx = optax.multi_transform(
                 {"train": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,
