@@ -675,17 +675,33 @@ def main():
     if mode in ("decoder_train", "t5_train"):
         batch_size = int(os.environ.get("BENCH_BATCH", "32"))
         sps, step_s = bench_gen_train(mode, batch_size, steps, dtype)
-        baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
+        # Per-lane anchors (BASELINE.md): the frozen-backbone lanes skip
+        # the backbone backward on the A6000 too (requires_grad=False), so
+        # the 60 samples/s full-train anchor would overstate the ratio.
+        # decoder_train ~194 GF/sample (backbone fwd + tiny decoder head)
+        # -> A6000 anchor 150; t5_train ~240 GF -> anchor 130.
+        if mode == "decoder_train":
+            gf, baseline = 194.0, float(
+                os.environ.get("A6000_DECTRAIN_SPS", "150.0"))
+        else:
+            gf, baseline = 240.0, float(
+                os.environ.get("A6000_T5TRAIN_SPS", "130.0"))
+        sps_chip = sps / jax.device_count()
+        mfu = None
+        if jax.default_backend() == "tpu":
+            peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
+            mfu = round(sps_chip * gf / (peak_tf * 1e3), 3)
         print(json.dumps({
             "metric": f"vqa_rad_{mode}_samples_per_sec_per_chip",
-            "value": round(sps / jax.device_count(), 2),
+            "value": round(sps_chip, 2),
             "unit": "samples/sec/chip",
-            "vs_baseline": round(sps / jax.device_count() / baseline, 3),
+            "vs_baseline": round(sps_chip / baseline, 3),
             "detail": {"per_chip_batch": batch_size, "dtype": dtype,
                        "step_time_ms": round(step_s * 1000, 2),
-                       "baseline_note": "A6000 torch-eager classifier-step "
-                                        "anchor estimate 60 samples/s "
-                                        "(BASELINE.md)"},
+                       **({"mfu": mfu} if mfu is not None else {}),
+                       "baseline_note": f"A6000 frozen-backbone torch-eager "
+                                        f"anchor estimate {baseline} "
+                                        f"samples/s (BASELINE.md)"},
         }))
         return
     if mode == "t5_beam":
