@@ -64,12 +64,15 @@ def build(batch_size: int, dtype: str, mode: str):
             os.environ.get("BENCH_FUSED_OPT", "1"),
             os.environ.get("BENCH_FUSED_OPT", "1")),
     }
+    # vision preset (BENCH_PRESET): clip16 (default) or any named vision
+    # config — swin32_base384 etc. exercise the Swin tower path
+    preset = os.environ.get("BENCH_PRESET", "clip16")
     if mode == "pretrain":
         # reference pretrain_m3ae.sh: mlm+mim+itm, image 288, text 64
-        cfg = compose(["task_pretrain_m3ae", "clip16"],
+        cfg = compose(["task_pretrain_m3ae", preset],
                       {**overrides, "image_size": 288})
     else:
-        cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"],
+        cfg = compose(["task_finetune_vqa_vqa_rad", preset],
                       {**overrides, "image_size": 384})
     trainer = Trainer(cfg)
     trainer.init_params()
@@ -810,7 +813,10 @@ def main():
     # optimizer), 192 GF/sample fwd-only, at image 384; v5e bf16 dense
     # peak 197 TFLOP/s.  Only meaningful on the TPU backend.
     mfu = None
-    if jax.default_backend() == "tpu" and mode in ("train", "eval"):
+    if (jax.default_backend() == "tpu" and mode in ("train", "eval")
+            and os.environ.get("BENCH_PRESET", "clip16") == "clip16"):
+        # GF-per-sample accounting is derived for the clip16 tower
+        # (BASELINE.md); other presets get raw samples/s only
         gf_per_sample = 577.0 if mode == "train" else 192.0
         peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
         mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
