@@ -60,3 +60,31 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
         if isinstance(v, np.ndarray) and v.dtype != object:
             out[k] = jax.device_put(v, sharding)
     return out
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """Per-leaf shardings for an optimizer state so that the state fed to
+    the FIRST jitted train step carries the SAME committed shardings the
+    step outputs — otherwise the carried state changes the jit cache key
+    and the second training step retraces + recompiles (PERF.md batch19
+    postmortem; ~160 s per retrace through the axon remote-compile
+    tunnel).
+
+    Moment/accumulator leaves (``mu``/``nu``/``acc`` sub-trees of
+    LeafFusedAdamW, which mirror the param tree) follow their parameter's
+    committed sharding (TP-correct); scalar counters replicate.  States
+    with other structures (the optax fallback path) get a fully
+    replicated tree — those paths only run under pure DP.
+    """
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten, unflatten
+    rep = replicated(mesh)
+    if not isinstance(opt_state, dict):
+        return jax.tree_util.tree_map(lambda _: rep, opt_state)
+    fp = flatten(params)
+    out = {}
+    for path, leaf in flatten(opt_state).items():
+        if path[0] in ("mu", "nu", "acc") and path[1:] in fp:
+            out[path] = fp[path[1:]].sharding
+        else:
+            out[path] = rep
+    return unflatten(out)

@@ -235,6 +235,13 @@ class T5Trainer:
                 self.tx = optax.MultiSteps(
                     self.tx, every_k_schedule=self.grad_accum_steps)
         self.opt_state = jax.jit(self.tx.init)(self.params)
+        # commit the init state to the step's output shardings (rep) —
+        # an uncommitted state retraces the jitted step on its second
+        # (carried) call (mesh.opt_state_shardings; PERF.md batch19)
+        self.opt_state = jax.device_put(
+            self.opt_state,
+            mesh_lib.opt_state_shardings(self.opt_state, self.params,
+                                         self.mesh))
 
     # ------------------------------------------------------------------ steps
     def _train_step_fn(self, params, opt_state, batch, rng):

@@ -203,6 +203,14 @@ class Trainer:
             steps_per_epoch=steps_per_epoch, grad_accum_steps=grad_steps,
             fused=fused_ok)
         self.opt_state = jax.jit(self.tx.init)(self.params)
+        # commit the state to the shardings the train step will output —
+        # an uncommitted init state changes the jit cache key on the
+        # second (carried) step and forces a full retrace+recompile
+        # (mesh.opt_state_shardings; PERF.md batch19 postmortem)
+        self.opt_state = jax.device_put(
+            self.opt_state,
+            mesh_lib.opt_state_shardings(self.opt_state, self.params,
+                                         self.mesh))
 
     # ------------------------------------------------------------ jitted steps
     def _device_prepare(self, batch):
@@ -260,10 +268,21 @@ class Trainer:
     def _get_jitted(self, name):
         if name in self._jitted:
             return self._jitted[name]
-        # shardings are inferred from the committed inputs (params carry
-        # their TP/replicated placement, batches the data-axis sharding)
+        # input shardings are inferred from the committed inputs (params
+        # carry their TP/replicated placement, batches the data-axis
+        # sharding); the train step PINS its params/opt outputs to the
+        # input shardings so the carried state keeps the same cache key
+        # (no step-2 retrace) and donation stays in-place
         if name == "train":
-            fn = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
+            assert self.params is not None and self.opt_state is not None, \
+                "call init_params + setup_optimizer before the train step"
+            leaf_sh = lambda tree: jax.tree_util.tree_map(
+                lambda x: x.sharding, tree)
+            fn = jax.jit(
+                self._train_step_fn, donate_argnums=(0, 1),
+                out_shardings=(leaf_sh(self.params),
+                               leaf_sh(self.opt_state),
+                               mesh_lib.replicated(self.mesh)))
         elif name == "eval":
             fn = jax.jit(self._eval_step_fn)
         self._jitted[name] = fn
