@@ -133,11 +133,27 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(self.window_size).reshape(-1)
         bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)[None]
         if mask is not None:
-            # per-window shifted-attention mask, tiled over the batch dim
+            # Shifted blocks: the per-window mask repeats with period nw
+            # over the window-batch axis, so FOLD the window axis into the
+            # head axis — the combined rel-pos + mask bias becomes
+            # batch-independent [1, nw*h, n, n] and the attention kernel
+            # streams it via its broadcast (size-1 batch dim) block spec.
+            # The naive [bnw, h, n, n] fp32 broadcast-add materialized
+            # 340 MB per stage-1 layer (b16) and was the #1 HBM sink of
+            # the swin eval profile (PERF.md batch23); this form is
+            # bitwise-identical math at batch/nw-times less traffic.
             nw = mask.shape[0]
-            win_mask = jnp.tile(mask[None, :, None], (bnw // nw, 1, 1, 1, 1))
-            bias = bias + win_mask.reshape(bnw, 1, n, n)
-        out = dot_product_attention(q, k, v, bias, impl=self.attention_impl)
+            b = bnw // nw
+            qf = q.reshape(b, nw * h, n, hd)
+            kf = k.reshape(b, nw * h, n, hd)
+            vf = v.reshape(b, nw * h, n, hd)
+            bias = (bias + mask[:, None]).reshape(1, nw * h, n, n)
+            out = dot_product_attention(qf, kf, vf, bias,
+                                        impl=self.attention_impl)
+            out = out.reshape(bnw, h, n, hd)
+        else:
+            out = dot_product_attention(q, k, v, bias,
+                                        impl=self.attention_impl)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         return Dense(c, name="proj")(out)
 
