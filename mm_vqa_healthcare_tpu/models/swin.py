@@ -124,8 +124,15 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = c // h
         qkv = Dense(3 * c, name="qkv")(x)
-        qkv = qkv.reshape(bnw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                    # [bnw, h, n, hd]
+        # slice the packed projection (torch in-proj order q|k|v) and
+        # transpose each [bnw, n, h, hd] -> [bnw, h, n, hd] separately:
+        # XLA folds the slice into the transpose-copy, vs the previous
+        # single 5-D [bnw, n, 3, h, hd] transpose which materialized an
+        # extra full-qkv layout copy (swin profile, PERF.md batch23)
+        def _split(i):
+            part = jax.lax.slice_in_dim(qkv, i * c, (i + 1) * c, axis=2)
+            return part.reshape(bnw, n, h, hd).transpose(0, 2, 1, 3)
+        q, k, v = _split(0), _split(1), _split(2)           # [bnw, h, n, hd]
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.normal(0.02),
