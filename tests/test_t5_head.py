@@ -172,3 +172,24 @@ def test_unfreeze_partition(vqa_data):
     assert lbl == "train"
     lbl = t._trainable_label(("params", "m3ae", "vqa_head", "fc1", "kernel"))
     assert lbl == "frozen"
+
+
+def test_offline_t5_tokenizer_cold_start(tmp_path):
+    """cli.make_tokenizer builds a dir AutoTokenizer loads WITHOUT
+    sentencepiece, with T5-style specials — the zero-egress cold-start
+    path for the T5 CLI (load_t5_tokenizer via t5_tokenizer_path)."""
+    from mm_vqa_healthcare_tpu.cli.make_tokenizer import build
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("yes\nno\nlung\nquestion\nwhat\n")
+    out = tmp_path / "t5_tok"
+    n = build(str(vocab), str(out))
+    assert n == 8  # 5 words + 3 specials
+
+    from mm_vqa_healthcare_tpu.train.t5_trainer import load_t5_tokenizer
+    tok = load_t5_tokenizer({"t5_tokenizer_path": str(out)})
+    assert tok.pad_token_id == 0 and tok.eos_token_id == 1
+    enc = tok("what lung")["input_ids"]
+    assert enc[-1] == 1  # eos appended like T5
+    assert tok.batch_decode([enc], skip_special_tokens=True) == [
+        "what lung"]
