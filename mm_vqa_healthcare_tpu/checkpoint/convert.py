@@ -468,7 +468,16 @@ def load_reference_checkpoint(path: str, cfg, init_params):
     Mirrors the reference load path: torch.load -> ["state_dict"] ->
     adapt_position_encoding -> load_state_dict(strict=False)
     (m3ae_module.py:104-142).
+
+    Native `.msgpack` checkpoints (this framework's best/last saves) are
+    dispatched to the flax loader so the same `load_path` config key
+    round-trips both formats (serving CLI, test-only runs, resume).
     """
+    if path.endswith(".msgpack"):
+        from mm_vqa_healthcare_tpu.checkpoint import io as ckpt_io
+        params = ckpt_io.load_native(path, init_params)
+        loaded = [".".join(str(p) for p in k) for k in flatten(params)]
+        return params, loaded, []
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt

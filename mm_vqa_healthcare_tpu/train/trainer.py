@@ -259,8 +259,13 @@ class Trainer:
         batch = self._device_prepare(batch)
         if self._step_cast_dtype is not None:
             params = cast_floats(params, self._step_cast_dtype)
+        # fixed eval rngs: deterministic evaluation (the reference's val
+        # MIM masking draws from torch's advancing global RNG — a
+        # documented stream difference); "mim" is required whenever the
+        # mim loss is active (val-time masked image modeling)
         loss, aux = objectives.compute_total_loss(
-            self.model, params, batch, rngs={"itm": jax.random.key(0)},
+            self.model, params, batch,
+            rngs={"itm": jax.random.key(0), "mim": jax.random.key(1)},
             loss_names=self.config["loss_names"], train=False)
         aux["loss"] = loss
         return aux

@@ -111,3 +111,20 @@ def test_whole_word_masking_groups(caption_data):
         assert m[1] == m[2]
         hit_pairs += int(m[1])
     assert hit_pairs > 0
+
+
+def test_pretrain_eval_all_objectives(caption_data):
+    """Val-phase pretraining (mlm+mim+itm) — the eval step must supply
+    the "mim" rng for val-time masked image modeling (regression: the
+    hardware e2e pretrain run crashed with InvalidRngError in
+    run_validation while every CPU test only drove the train step)."""
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, vocab = caption_data
+    cfg = _pretrain_config(data_root, vocab)
+    t = Trainer(cfg)
+    t.setup_data()
+    t.init_params()
+    metrics = t.evaluate("val")
+    assert np.isfinite(metrics["mim/loss"])
+    assert np.isfinite(metrics["mlm/accuracy"])
+    assert np.isfinite(metrics["itm/accuracy"])

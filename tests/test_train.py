@@ -193,3 +193,30 @@ def test_eval_filler_samples_excluded():
     assert float(aux["vqa_close_total"] + aux["vqa_open_total"]) == 2.0
     # score sums can't exceed the valid count
     assert float(aux["vqa_score_sum"]) <= 2.0
+
+
+def test_native_msgpack_load_path_roundtrip(tmp_path, vqa_data):
+    """`load_path` also accepts this framework's native .msgpack saves
+    (best/last checkpoints) — same config key round-trips both formats
+    (serving CLI / test-only / resume)."""
+    import numpy as np
+    from mm_vqa_healthcare_tpu.checkpoint import io as ckpt_io
+    from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, test_only=True)
+    t0 = Trainer(cfg)
+    t0.setup_data()
+    params = t0.init_params()
+    ckpt = str(tmp_path / "native_best.msgpack")
+    ckpt_io.save_native(ckpt, params, cfg)
+
+    cfg2 = fixtures.tiny_config(data_root, vocab, test_only=True,
+                                load_path=ckpt)
+    t1 = Trainer(cfg2)
+    t1.setup_data()
+    t1.init_params()
+    fa, fb = flatten(params), flatten(t1.params)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
