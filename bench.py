@@ -318,6 +318,15 @@ def bench_decode(batch_size: int, steps: int):
             lambda p: cast_floats(p, jnp.dtype(cfg["compute_dtype"])))(params)
     print("bench_decode: init done", flush=True)
     decoder = Decoder(model_cfg.decoder)
+    # BENCH_DECODE_MAXLEN: cap the search length (production answers are
+    # <= max_answer_length=12 tokens; the reference's search_path decodes
+    # to its hardcoded 128 only because random/garbage weights never emit
+    # SEP — a trained model stops after ~3 tokens).  The positional
+    # encoding is sinusoidal (non-param), so the same params serve any cap.
+    _ml = int(os.environ.get("BENCH_DECODE_MAXLEN", "0"))
+    if _ml:
+        import dataclasses as _dc
+        decoder = Decoder(_dc.replace(model_cfg.decoder, max_len=_ml))
     dec_params = {"params": params["params"]["decoder"]}
 
     if os.environ.get("BENCH_SPLIT_ENCODE", "1") == "1":
@@ -737,7 +746,9 @@ def main():
             "value": round(aps / jax.device_count(), 2),
             "unit": "answers/sec/chip",
             "vs_baseline": round(aps / jax.device_count() / baseline, 3),
-            "detail": {"batch": batch_size, "max_len": 128,
+            "detail": {"batch": batch_size,
+                       "max_len": int(os.environ.get(
+                           "BENCH_DECODE_MAXLEN", "0")) or 128,
                        "batch_time_ms": round(dt * 1000, 2),
                        "baseline_note": "A6000 full-prefix-reforward "
                                         "estimate 40 answers/s"},
