@@ -410,10 +410,15 @@ def bench_t5_beam(batch_size: int, steps: int, num_beams: int = 4):
     from mm_vqa_healthcare_tpu.models.t5_heads import (
         T5HeadConfig, T5VQAModel)
 
-    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], {
+    overrides = {
         "image_size": 384, "per_gpu_batchsize": batch_size,
         "compute_dtype": "bfloat16",
-        "attention_impl": os.environ.get("BENCH_ATTN", "auto")})
+        "attention_impl": os.environ.get("BENCH_ATTN", "auto")}
+    if os.environ.get("BENCH_T5_MAXLEN"):
+        # production budget: the finetune recipe sets t5_max_length=12
+        # (run_scripts/finetune_m3ae.sh); the config default is 25
+        overrides["t5_max_length"] = int(os.environ["BENCH_T5_MAXLEN"])
+    cfg = compose(["task_finetune_vqa_vqa_rad", "clip16"], overrides)
     t5_cfg = T5_PRESETS.get(
         os.environ.get("BENCH_T5", cfg["t5_model_name"]), T5Config())
     # "question:" t5-tokenizer ids, hardcoded (zero-egress host; values
@@ -726,7 +731,8 @@ def main():
             "unit": "answers/sec/chip",
             "vs_baseline": round(aps / jax.device_count() / baseline, 3),
             "detail": {"batch": batch_size, "num_beams": 4,
-                       "max_len": 25, "t5": os.environ.get("BENCH_T5", ""),
+                       "max_len": int(os.environ.get("BENCH_T5_MAXLEN", "25")),
+                       "t5": os.environ.get("BENCH_T5", ""),
                        "beam_impl": os.environ.get("BENCH_T5_IMPL",
                                                    "device"),
                        "batch_time_ms": round(dt * 1000, 2),
