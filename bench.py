@@ -778,10 +778,11 @@ def main():
                        "decode_batch_time_ms": round(dt * 1000, 2),
                        "decode_only_answers_per_sec": round(b / dt, 2),
                        "composed_with_eval_sps": eval_sps,
-                       "note": "decoder-only measured; encoder fwd taken "
-                               "from the eval bench (fresh fwd-only M3AE "
-                               "HLOs crash this env's remote-compile "
-                               "service - see PERF.md)",
+                       "note": "decoder-only measured, composed with the "
+                               "eval-bench encode rate; superseded by "
+                               "BENCH_MODE=decode (full pipeline) once "
+                               "the params-as-closure-constants compile "
+                               "failure was fixed (NOTES_ROUND3 #9)",
                        "baseline_note": "A6000 full-prefix-reforward "
                                         "estimate 40 answers/s"},
         }))
