@@ -98,3 +98,43 @@ def test_swin_relpos_adaptation():
     assert out.shape == ((2 * 12 - 1) ** 2, 4)
     same = _adapt_swin_relpos(table, 7)
     np.testing.assert_array_equal(same, table)
+
+
+def test_window_attention_fold_matches_unfolded():
+    """The shifted-window head-axis FOLD (PERF.md batch24) must equal the
+    naive per-window-batch bias materialization bitwise: same adds, same
+    operands, only the grouping of (window, head) axes changes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_vqa_healthcare_tpu.models.swin import (
+        WindowAttention, shift_attention_mask)
+
+    b, ws, c, h = 2, 4, 16, 2
+    hh = ww = 8                      # 4 windows of 4x4
+    nw = (hh // ws) * (ww // ws)
+    n = ws * ws
+    mask = jnp.asarray(shift_attention_mask(hh, ww, ws, ws // 2))
+    x = jax.random.normal(jax.random.key(0), (b * nw, n, c))
+    attn = WindowAttention(dim=c, num_heads=h, window_size=ws,
+                           attention_impl="xla")
+    params = attn.init(jax.random.key(1), x, mask)
+    folded = attn.apply(params, x, mask)
+
+    # unfolded reference: materialize the [b*nw, h, n, n] bias by hand
+    from mm_vqa_healthcare_tpu.ops.attention import dot_product_attention
+    from mm_vqa_healthcare_tpu.models.swin import relative_position_index
+    p = params["params"]
+    qkv = x @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    hd = c // h
+    q, k, v = [qkv[..., i * c:(i + 1) * c].reshape(b * nw, n, h, hd)
+               .transpose(0, 2, 1, 3) for i in range(3)]
+    table = p["relative_position_bias_table"]
+    idx = relative_position_index(ws).reshape(-1)
+    rel = table[idx].reshape(n, n, h).transpose(2, 0, 1)[None]
+    bias = rel + jnp.tile(mask[None, :, None], (b, 1, 1, 1, 1)).reshape(
+        b * nw, 1, n, n)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+    ref = ref.transpose(0, 2, 1, 3).reshape(b * nw, n, c)
+    ref = ref @ p["proj"]["kernel"] + p["proj"]["bias"]
+    np.testing.assert_array_equal(np.asarray(folded), np.asarray(ref))
