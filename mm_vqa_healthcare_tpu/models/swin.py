@@ -17,6 +17,7 @@ norm) via checkpoint/convert.swin_rules.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -38,6 +39,10 @@ class SwinConfig:
     window_size: int = 12
     mlp_ratio: float = 4.0
     attention_impl: str = "auto"
+    # Window-resident layout (PERF.md swin profile: window partition /
+    # reverse transposes were ~27% of device time).  Bitwise-identical
+    # math; kept switchable for the parity test + as an escape hatch.
+    windowed: bool = True
 
     @property
     def num_features(self) -> int:
@@ -66,7 +71,8 @@ def swin_config(name: str, image_size: int,
         raise KeyError(f"Unknown swin model {name!r}")
     kw = dict(SWIN_PRESETS[name])
     kw["image_size"] = image_size
-    return SwinConfig(attention_impl=attention_impl, **kw)
+    windowed = os.environ.get("MMVQA_SWIN_WINDOWED", "1") == "1"
+    return SwinConfig(attention_impl=attention_impl, windowed=windowed, **kw)
 
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -82,6 +88,33 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
     x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h, w, -1)
+
+
+def windowed_roll(x: jax.Array, shift: int, outer_axis: int,
+                  inner_axis: int) -> jax.Array:
+    """Cyclic roll of the virtual flattened spatial axis (outer*ws + inner)
+    by `shift` WITHOUT leaving the windowed layout.
+
+    The swin cyclic shift (|shift| < window) only ever moves a token to the
+    same window row/col or the adjacent one, so the roll decomposes into
+    two contiguous slices + a one-step roll of the outer (window) axis +
+    a concat — no 6-D transpose, no gather (so the VJP is slice/concat
+    too, scatter-free).  Replaces roll→window_partition / window_reverse→
+    roll around every shifted block (reference swin_transformer.py:87-99,
+    222-238) when the tower runs window-resident.
+    """
+    ws = x.shape[inner_axis]
+    assert 0 < abs(shift) < ws, (shift, ws)
+    if shift < 0:
+        s = -shift
+        a = jax.lax.slice_in_dim(x, s, ws, axis=inner_axis)
+        b = jnp.roll(jax.lax.slice_in_dim(x, 0, s, axis=inner_axis),
+                     -1, axis=outer_axis)
+        return jnp.concatenate([a, b], axis=inner_axis)
+    a = jnp.roll(jax.lax.slice_in_dim(x, ws - shift, ws, axis=inner_axis),
+                 1, axis=outer_axis)
+    b = jax.lax.slice_in_dim(x, 0, ws - shift, axis=inner_axis)
+    return jnp.concatenate([a, b], axis=inner_axis)
 
 
 def relative_position_index(ws: int) -> np.ndarray:
@@ -173,6 +206,11 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float
     attention_impl: str = "auto"
+    # When True the block consumes/produces the window-resident layout
+    # [B, nWh, nWw, ws, ws, C]: non-shifted blocks need ZERO layout ops
+    # (the window view is a free reshape), shifted blocks use two
+    # windowed_rolls each way instead of roll+partition / reverse+roll.
+    windowed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -180,6 +218,8 @@ class SwinBlock(nn.Module):
         ws, shift = self.window_size, self.shift_size
         if min(hh, ww) <= ws:
             ws, shift = min(hh, ww), 0
+        if self.windowed:
+            return self._windowed(x, ws, shift, hh, ww)
         b, l, c = x.shape
         shortcut = x
         x = LayerNorm(name="norm1")(x).reshape(b, hh, ww, c)
@@ -195,6 +235,35 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, l, c)
+        h = LayerNorm(name="norm2")(x)
+        h = Dense(int(c * self.mlp_ratio), name="fc1")(h)
+        h = gelu_exact(h)
+        h = Dense(c, name="fc2")(h)
+        return x + h
+
+    def _windowed(self, x: jax.Array, ws: int, shift: int,
+                  hh: int, ww: int) -> jax.Array:
+        """Window-resident block: x is [B, nWh, nWw, ws, ws, C].  Every op
+        is either layout-agnostic (LN / MLP / residual, last-axis only) or
+        a free reshape to the [B*nW, n, C] window batch — bitwise-identical
+        to the spatial-resident path (regression-locked in test_swin.py)."""
+        b, nwh, nww, _, _, c = x.shape
+        shortcut = x
+        h = LayerNorm(name="norm1")(x)
+        if shift > 0:
+            h = windowed_roll(h, -shift, 1, 3)
+            h = windowed_roll(h, -shift, 2, 4)
+            mask = jnp.asarray(shift_attention_mask(hh, ww, ws, shift))
+        else:
+            mask = None
+        windows = h.reshape(b * nwh * nww, ws * ws, c)
+        attn = WindowAttention(self.dim, self.num_heads, ws,
+                               self.attention_impl, name="attn")(windows, mask)
+        attn = attn.reshape(b, nwh, nww, ws, ws, c)
+        if shift > 0:
+            attn = windowed_roll(attn, shift, 1, 3)
+            attn = windowed_roll(attn, shift, 2, 4)
+        x = shortcut + attn
         h = LayerNorm(name="norm2")(x)
         h = Dense(int(c * self.mlp_ratio), name="fc1")(h)
         h = gelu_exact(h)
@@ -240,6 +309,15 @@ class SwinTransformer(nn.Module):
         res = (hh // p, ww // p)
         dim = cfg.embed_dim
         for i, depth in enumerate(cfg.depths):
+            rh, rw = res
+            ws_eff = min(cfg.window_size, rh, rw)
+            # Stage-resident windowed layout: pay ONE partition transpose
+            # per stage instead of one partition + one reverse per block
+            # (the swin profile's 27%-of-device-time layout traffic).
+            windowed = cfg.windowed and rh % ws_eff == 0 and rw % ws_eff == 0
+            if windowed:
+                x = x.reshape(b, rh // ws_eff, ws_eff, rw // ws_eff,
+                              ws_eff, dim).transpose(0, 1, 3, 2, 4, 5)
             for j in range(depth):
                 x = SwinBlock(
                     dim=dim, num_heads=cfg.num_heads[i],
@@ -247,7 +325,10 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if j % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio,
                     attention_impl=cfg.attention_impl,
+                    windowed=windowed,
                     name=f"layers_{i}_blocks_{j}")(x)
+            if windowed:
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, rh * rw, dim)
             if i < len(cfg.depths) - 1:
                 x = PatchMerging(res, name=f"layers_{i}_downsample")(x)
                 res = (res[0] // 2, res[1] // 2)

@@ -138,3 +138,40 @@ def test_window_attention_fold_matches_unfolded():
     ref = ref.transpose(0, 2, 1, 3).reshape(b * nw, n, c)
     ref = ref @ p["proj"]["kernel"] + p["proj"]["bias"]
     np.testing.assert_array_equal(np.asarray(folded), np.asarray(ref))
+
+
+def test_windowed_resident_layout_parity():
+    """The stage-resident windowed layout (windowed=True, the default) must
+    reproduce the spatial-resident path exactly: same params, bitwise-equal
+    forward (every op is row-independent, only storage order changes), and
+    matching grads through the scatter-free windowed_roll VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_vqa_healthcare_tpu.models.swin import SwinConfig, SwinTransformer
+
+    kw = dict(image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+              num_heads=(2, 2), window_size=4, attention_impl="xla")
+    # stage 0: res 8x8, 4 windows, block 1 shifted; stage 1: res 4x4,
+    # window clamped to the full map (single window, no shift)
+    m_sp = SwinTransformer(SwinConfig(windowed=False, **kw))
+    m_wd = SwinTransformer(SwinConfig(windowed=True, **kw))
+    img = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = m_sp.init(jax.random.key(1), img)
+    out_sp = m_sp.apply(params, img)
+    out_wd = m_wd.apply(params, img)
+    np.testing.assert_array_equal(np.asarray(out_sp), np.asarray(out_wd))
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply(p, img) ** 2)
+        return jax.grad(f)(params)
+
+    g_sp, g_wd = loss(m_sp), loss(m_wd)
+    flat_sp = jax.tree_util.tree_leaves(g_sp)
+    flat_wd = jax.tree_util.tree_leaves(g_wd)
+    for a, b in zip(flat_sp, flat_wd):
+        # weight grads contract over the (permuted) token axis — reduction
+        # order may differ, values must agree tightly
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
