@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mm_vqa_healthcare_tpu.models.layers import Dense, LayerNorm, gelu_exact
-from mm_vqa_healthcare_tpu.ops.attention import dot_product_attention
+from mm_vqa_healthcare_tpu.ops.attention import (
+    _default_impl, dot_product_attention, dot_product_attention_packed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +44,8 @@ class SwinConfig:
     # reverse transposes were ~27% of device time).  Bitwise-identical
     # math; kept switchable for the parity test + as an escape hatch.
     windowed: bool = True
+    # Packed-layout window attention (see WindowAttention.packed).
+    packed: bool = True
 
     @property
     def num_features(self) -> int:
@@ -72,7 +75,9 @@ def swin_config(name: str, image_size: int,
     kw = dict(SWIN_PRESETS[name])
     kw["image_size"] = image_size
     windowed = os.environ.get("MMVQA_SWIN_WINDOWED", "1") == "1"
-    return SwinConfig(attention_impl=attention_impl, windowed=windowed, **kw)
+    packed = os.environ.get("MMVQA_SWIN_PACKED", "1") == "1"
+    return SwinConfig(attention_impl=attention_impl, windowed=windowed,
+                      packed=packed, **kw)
 
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -149,6 +154,13 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     attention_impl: str = "auto"
+    # Packed [B, S, H*D] attention layout (default ON): q/k/v stay in the
+    # qkv-projection layout and the pallas kernel carves heads out of the
+    # lane dim — this removes the [bnW,n,h,hd]<->[bnW,h,n,hd] relayout
+    # copies that dominated the post-window-resident swin train profile
+    # (.profiles/r3_swin_train_wd: [2048,144,4,32] n<->h permutations
+    # around every attention custom-call, plus remat duplicates).
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -156,6 +168,11 @@ class WindowAttention(nn.Module):
         bnw, n, c = x.shape
         h = self.num_heads
         hd = c // h
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = _default_impl()
+        if self.packed and impl == "pallas":
+            return self._packed(x, mask, n, c, h)
         qkv = Dense(3 * c, name="qkv")(x)
         # slice the packed projection (torch in-proj order q|k|v) and
         # transpose each [bnw, n, h, hd] -> [bnw, h, n, hd] separately:
@@ -197,6 +214,30 @@ class WindowAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         return Dense(c, name="proj")(out)
 
+    def _packed(self, x: jax.Array, mask: Optional[jax.Array],
+                n: int, c: int, h: int) -> jax.Array:
+        """Packed-layout window attention: q/k/v are lane-contiguous slices
+        of the qkv projection ([bnW, n, c] each — zero relayout ops), and
+        the shifted-window mask rides the kernel's batch-PERIODIC bias spec
+        ([nW, h, n, n] streams with period nW over the window-batch axis)
+        instead of the head-axis fold the split layout needs.  Identical
+        math to the split path (same per-head fp32 score pipeline);
+        parity is regression-locked in test_swin.py."""
+        qkv = Dense(3 * c, name="qkv")(x)          # [bnW, n, 3c]
+        q = jax.lax.slice_in_dim(qkv, 0, c, axis=2)
+        k = jax.lax.slice_in_dim(qkv, c, 2 * c, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * c, 3 * c, axis=2)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h), jnp.float32)
+        idx = relative_position_index(self.window_size).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)[None]
+        if mask is not None:
+            bias = bias + mask[:, None]            # [nW, h, n, n]
+        out = dot_product_attention_packed(q, k, v, h, bias, impl="pallas")
+        return Dense(c, name="proj")(out)
+
 
 class SwinBlock(nn.Module):
     dim: int
@@ -206,6 +247,7 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float
     attention_impl: str = "auto"
+    packed: bool = True
     # When True the block consumes/produces the window-resident layout
     # [B, nWh, nWw, ws, ws, C]: non-shifted blocks need ZERO layout ops
     # (the window view is a free reshape), shifted blocks use two
@@ -230,7 +272,8 @@ class SwinBlock(nn.Module):
             mask = None
         windows = window_partition(x, ws)
         attn = WindowAttention(self.dim, self.num_heads, ws,
-                               self.attention_impl, name="attn")(windows, mask)
+                               self.attention_impl, packed=self.packed,
+                               name="attn")(windows, mask)
         x = window_reverse(attn, ws, hh, ww)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -258,7 +301,8 @@ class SwinBlock(nn.Module):
             mask = None
         windows = h.reshape(b * nwh * nww, ws * ws, c)
         attn = WindowAttention(self.dim, self.num_heads, ws,
-                               self.attention_impl, name="attn")(windows, mask)
+                               self.attention_impl, packed=self.packed,
+                               name="attn")(windows, mask)
         attn = attn.reshape(b, nwh, nww, ws, ws, c)
         if shift > 0:
             attn = windowed_roll(attn, shift, 1, 3)
@@ -325,7 +369,7 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if j % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio,
                     attention_impl=cfg.attention_impl,
-                    windowed=windowed,
+                    windowed=windowed, packed=cfg.packed,
                     name=f"layers_{i}_blocks_{j}")(x)
             if windowed:
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, rh * rw, dim)

@@ -193,18 +193,30 @@ def _norm_bias(bias, b, sq, sk):
     if bias is None:
         bias = jnp.zeros((1, 1, 1, sk), jnp.float32)
     bias = bias.astype(jnp.float32)
+    if b % bias.shape[0]:
+        raise ValueError(
+            f"bias batch dim {bias.shape[0]} must divide the operand "
+            f"batch {b} (broadcast, periodic, or full)")
     if bias.shape[3] != sk:
         bias = jnp.broadcast_to(bias, bias.shape[:3] + (sk,))
     return bias
 
 
 def _bias_spec(bias_shape, sq_b, sk_b, hb):
-    """Block spec honoring broadcast (size-1) bias dims."""
+    """Block spec honoring broadcast (size-1) bias dims.
+
+    The batch dim may also be PERIODIC: a bias with 1 < bb < B batch rows
+    (bb dividing B) repeats with period bb over the batch grid — the swin
+    shifted-window mask is per-window ([nW, H, N, N]) while the operands
+    carry a [B*nW] window-batch axis, so indexing i % bb streams the same
+    nW mask rows for every image instead of materializing a [B*nW, ...]
+    broadcast in HBM (reference swin_transformer.py:262-270 adds the mask
+    on a [B_, nW, H, N, N] view)."""
     bb, bh, bq, _ = bias_shape
     block = (1, hb if bh > 1 else 1, sq_b if bq > 1 else 1, sk_b)
 
     def index(i, j, _bb=bb, _bh=bh):
-        return (i if _bb > 1 else 0, j if _bh > 1 else 0, 0, 0)
+        return (i % _bb if _bb > 1 else 0, j if _bh > 1 else 0, 0, 0)
 
     return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
 

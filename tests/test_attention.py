@@ -276,3 +276,50 @@ def test_packed_fallback_over_budget_matches_split():
     for a, b_, name in zip(g_packed, g_split, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("h,d", [
+    (4, 32),   # swin head_dim: packed kernel, hb*d = 128
+    (4, 64),   # clip-like: packed kernel, multi-head blocks
+    (2, 8),    # lane-infeasible: exercises the split-kernel fallback
+])
+def test_periodic_batch_bias_fwd_bwd(h, d):
+    """A bias with 1 < bb < B batch rows (bb dividing B) repeats with
+    period bb over the batch grid — the swin shifted-window mask shape
+    ([nW, H, N, N] against a [B*nW] window-batch axis).  Both kernel
+    families must match a reference that tiles the bias to the full
+    batch, in forward and backward."""
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    b, bb, s = 6, 3, 16
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    bias = _rand((bb, h, s, s), 7) * 3.0
+    w = _rand((b, s, h * d), 9)
+    tiled = jnp.tile(bias, (b // bb, 1, 1, 1))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, h, bias,
+                                              interpret=_INTERP) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(_packed_ref, q, k, v, h, tiled) * w)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_attention_packed(q3, k3, v3, h, bias,
+                                          interpret=_INTERP)),
+        np.asarray(_ref(_packed_ref, q3, k3, v3, h, tiled)),
+        atol=1e-5, rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q3, k3, v3)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, err_msg=f"d{name}")
+
+
+def test_periodic_batch_bias_must_divide():
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    q3, k3, v3 = (_rand((5, 16, 128), i) for i in range(3))
+    bias = _rand((2, 4, 16, 16), 7)
+    with pytest.raises(ValueError, match="divide"):
+        fused_attention_packed(q3, k3, v3, 4, bias, interpret=True)

@@ -175,3 +175,39 @@ def test_windowed_resident_layout_parity():
         # order may differ, values must agree tightly
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_swin_packed_attention_parity():
+    """The packed-layout window attention (packed=True on the pallas path:
+    q/k/v as lane slices of the qkv projection, shifted mask as a
+    batch-periodic kernel bias) must reproduce the split-layout XLA path:
+    same params, matching forward and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_vqa_healthcare_tpu.models.swin import SwinConfig, SwinTransformer
+
+    # embed 128 / 4 heads -> head_dim 32 (the real swin stage-1 shape);
+    # res 8x8, window 4 -> 4 windows, block 1 shifted (periodic mask path)
+    kw = dict(image_size=32, patch_size=4, embed_dim=128, depths=(2,),
+              num_heads=(4,), window_size=4)
+    m_ref = SwinTransformer(SwinConfig(attention_impl="xla", packed=False,
+                                       **kw))
+    m_pk = SwinTransformer(SwinConfig(attention_impl="pallas", packed=True,
+                                      **kw))
+    img = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = m_ref.init(jax.random.key(1), img)
+    out_ref = m_ref.apply(params, img)
+    out_pk = m_pk.apply(params, img)
+    np.testing.assert_allclose(np.asarray(out_pk), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def grads(m):
+        def f(p):
+            return jnp.sum(m.apply(p, img) ** 2)
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(m_pk)),
+                    jax.tree_util.tree_leaves(grads(m_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
