@@ -158,6 +158,10 @@ def base_config() -> Dict[str, Any]:
         attention_impl="auto",
         # Mesh axis sizes; data axis defaults to all devices.
         mesh_shape=None,  # e.g. {"data": 8} or {"data": 4, "model": 2}
+        fsdp=False,  # ZeRO-3-style param/opt-state storage sharding over
+                     # the data axis (beyond the reference's DDP; exact)
+        fsdp_min_elems=None,  # replicate leaves smaller than this
+                              # (default 2**14; 0 shards everything)
         # Reproduce reference quirks bit-for-bit (decoder layer rewiring,
         # double positional-embedding add, BLEU self-reference).  True =
         # match reference outputs token-for-token (the parity north star).

@@ -183,7 +183,11 @@ class Trainer:
         # (pure replication when model=1) — jit propagates from these
         # committed shardings
         from mm_vqa_healthcare_tpu.parallel.partition import shard_params
-        self.params = shard_params(self.mesh, params)
+        fsdp_kw = {}
+        if cfg.get("fsdp_min_elems") is not None:
+            fsdp_kw["fsdp_min_elems"] = cfg["fsdp_min_elems"]
+        self.params = shard_params(self.mesh, params,
+                                   fsdp=cfg.get("fsdp", False), **fsdp_kw)
         return self.params
 
     def setup_optimizer(self, steps_per_epoch: Optional[int] = None):
