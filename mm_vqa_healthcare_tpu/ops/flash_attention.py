@@ -353,8 +353,164 @@ def _packed_row_valid(ref, n):
     return jax.lax.broadcasted_iota(jnp.int32, (ref.shape[1], 1), 0) < n
 
 
+# Grouped-head mode for the packed kernels: instead of one (M=Sq, K=d,
+# N=Sk) dot per head, transpose gb heads' lane slices to [gb, S, d] IN
+# VMEM and issue one batched dot_general — Mosaic pipelines the group and
+# the per-head VPU softmax work vectorizes over the group axis.  Matters
+# for the swin window regime (d=32, hb up to 32: the per-head loop is 32
+# serialized tiny matmuls per program, 6% MXU efficiency in the batch30
+# profile).  "auto" caps the group so the fp32 score family fits
+# _GROUP_SCORE_BUDGET; "0" disables (bit-path-identical per-head loop).
+# Default ON (batch31 same-batch A/B: swin eval 403->470.6 +16.8%, swin
+# train 126->147.6 +17.1%, clip16 train 173.6->177.5 +2.2%; clip image
+# self-attention auto-degrades to gb=1 — its grouped score family
+# overruns the budget — so the big-tile regime is untouched).
+_PACKED_GROUP = os.environ.get("MMVQA_ATTN_PACKED_GROUP", "auto")
+_GROUP_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_GROUP_BUDGET",
+                                         4 * 2 ** 20))
+
+
+def _group_size(hb: int, sq_b: int, sk_b: int, n_f32: int,
+                dropout: bool) -> int:
+    """Heads per batched dot: largest divisor of hb whose grouped score
+    family fits the budget.  1 = per-head loop (grouping off)."""
+    if _PACKED_GROUP == "0":
+        return 1
+    per_head = sq_b * sk_b * (4 * n_f32 + (6 if dropout else 0))
+    cap = int(_PACKED_GROUP) if _PACKED_GROUP not in ("auto",) else hb
+    for gb in range(min(hb, cap), 0, -1):
+        if hb % gb == 0 and gb * per_head <= _GROUP_SCORE_BUDGET:
+            return gb
+    return 1
+
+
+def _group_keep(shape_g, rate, seed_ref, num_heads, hb, t0, gb):
+    """[gb, SQ, SK] keep-mask with the exact per-absolute-head streams of
+    the per-head loop (seed per head, then draw), so grouping is
+    bit-identical to the ungrouped kernels even under dropout."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    keeps = []
+    for t in range(t0, t0 + gb):
+        pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
+        keeps.append(_dropout_keep_mask(shape_g[1:], rate))
+    return jnp.stack(keeps, axis=0)
+
+
+def _group_view(x_all, t0, gb, d):
+    """[Sb, hb*d] lanes -> [gb, Sb, d] batched-head view (in VMEM).
+
+    Built from stacked per-head lane slices: Mosaic's layout inference
+    rejects the natural reshape ([Sb, gb*d] -> [Sb, gb, d] is an
+    "unsupported shape cast" when d < 128 lanes), but stacking static
+    slices lowers to plain VMEM copies."""
+    return jnp.stack([x_all[:, (t0 + t) * d:(t0 + t + 1) * d]
+                      for t in range(gb)], axis=0)
+
+
+def _ungroup(out, gb):
+    """[gb, Sb, d] -> [Sb, gb*d] (inverse of _group_view's gather)."""
+    return jnp.concatenate([out[t] for t in range(gb)], axis=1)
+
+
+def _packed_fwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                               scale, sk, num_heads, hb, d, gb,
+                               dropout_rate=0.0, seed_ref=None):
+    kvalid = _packed_row_valid(k_ref, sk)
+    q_all = q_ref[0]                               # [SQb, hb*d]
+    k_all = k_ref[0]                               # [SKb, hb*d]
+    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
+    for t0 in range(0, hb, gb):
+        sl = slice(t0 * d, (t0 + gb) * d)
+        qg = _group_view(q_all, t0, gb, d)
+        kg = _group_view(k_all, t0, gb, d)
+        vg = _group_view(v_all, t0, gb, d)
+        scores = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [gb, SQb, SKb]
+        bsl = bias_ref[0]
+        bsl = (bsl[t0:t0 + gb] if bsl.shape[0] > 1
+               else jnp.broadcast_to(bsl, (gb,) + bsl.shape[1:]))
+        scores = scores + bsl.astype(jnp.float32)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+        scores = jnp.where(kmask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _group_keep(probs.shape, dropout_rate, seed_ref,
+                               num_heads, hb, t0, gb)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        out = jax.lax.dot_general(probs.astype(vg.dtype), vg,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = _ungroup(out, gb).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                               dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
+                               num_heads, hb, d, gb, dropout_rate=0.0,
+                               seed_ref=None):
+    qvalid = _packed_row_valid(q_ref, sq)
+    kvalid = _packed_row_valid(k_ref, sk)
+    q_all = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
+    k_all = jnp.where(kvalid, k_ref[0], 0).astype(k_ref.dtype)
+    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
+    do_all = jnp.where(qvalid, do_ref[0], 0).astype(do_ref.dtype)
+    for t0 in range(0, hb, gb):
+        sl = slice(t0 * d, (t0 + gb) * d)
+        qg = _group_view(q_all, t0, gb, d)
+        kg = _group_view(k_all, t0, gb, d)
+        vg = _group_view(v_all, t0, gb, d)
+        dog = _group_view(do_all, t0, gb, d)
+        scores = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        bsl = bias_ref[0]
+        bsl = (bsl[t0:t0 + gb] if bsl.shape[0] > 1
+               else jnp.broadcast_to(bsl, (gb,) + bsl.shape[1:]))
+        scores = scores + bsl.astype(jnp.float32)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+        scores = jnp.where(kmask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sq
+        probs = jnp.where(qmask, e / denom, 0.0)   # [gb, SQb, SKb]
+        if dropout_rate > 0.0:
+            keep = _group_keep(probs.shape, dropout_rate, seed_ref,
+                               num_heads, hb, t0, gb)
+            inv = 1.0 / (1.0 - dropout_rate)
+            probs_dropped = jnp.where(keep, probs * inv, 0.0)
+        else:
+            probs_dropped = probs
+        dv = jax.lax.dot_general(probs_dropped.astype(dog.dtype), dog,
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dog, vg, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        ds = jnp.where(qmask, ds, 0.0)
+        ds_lp = ds.astype(kg.dtype)
+        dq = jax.lax.dot_general(ds_lp, kg, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lp, qg, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = _ungroup(dq, gb).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = _ungroup(dk, gb).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = _ungroup(dv, gb).astype(dv_ref.dtype)
+
+
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
-                       num_heads, hb, d, dropout_rate=0.0, seed_ref=None):
+                       num_heads, hb, d, gb=1, dropout_rate=0.0,
+                       seed_ref=None):
+    if gb > 1:
+        return _packed_fwd_kernel_grouped(
+            q_ref, k_ref, v_ref, bias_ref, o_ref, scale=scale, sk=sk,
+            num_heads=num_heads, hb=hb, d=d, gb=gb,
+            dropout_rate=dropout_rate, seed_ref=seed_ref)
     kvalid = _packed_row_valid(k_ref, sk)
     q_all = q_ref[0]                               # [SQb, hb*d]
     k_all = k_ref[0]                               # [SKb, hb*d]
@@ -388,7 +544,13 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
-                       num_heads, hb, d, dropout_rate=0.0, seed_ref=None):
+                       num_heads, hb, d, gb=1, dropout_rate=0.0,
+                       seed_ref=None):
+    if gb > 1:
+        return _packed_bwd_kernel_grouped(
+            q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
+            scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d,
+            gb=gb, dropout_rate=dropout_rate, seed_ref=seed_ref)
     qvalid = _packed_row_valid(q_ref, sq)
     kvalid = _packed_row_valid(k_ref, sk)
     q_all = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
@@ -503,7 +665,9 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
                  (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
                   bias.shape, "packed bias"))
     in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
-    kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d)
+    kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d,
+              gb=_group_size(hb, sq_b, sk_b, n_f32=3,
+                             dropout=dropout_rate > 0.0))
     extra = []
     if dropout_rate > 0.0:
         def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
@@ -550,7 +714,9 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
                   bias.shape, "packed bwd bias"))
     in_specs = [qspec, kspec, kspec,
                 _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
-    kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d)
+    kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d,
+              gb=_group_size(hb, sq_b, sk_b, n_f32=5,
+                             dropout=dropout_rate > 0.0))
     extra = []
     if dropout_rate > 0.0:
         def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
