@@ -831,11 +831,15 @@ def main():
     # optimizer), 192 GF/sample fwd-only, at image 384; v5e bf16 dense
     # peak 197 TFLOP/s.  Only meaningful on the TPU backend.
     mfu = None
+    # GF-per-sample accounting per preset (derivations in BASELINE.md):
+    # clip16 = ViT-B/16@577tok + BERT + 6x2 fusion; swin32_base384 =
+    # swin-base@384 (94 GF tower, = timm's 47.1 GMACs) + BERT + fusion
+    # over the 144-token image stream.
+    _GF = {"clip16": (577.0, 192.0), "swin32_base384": (360.0, 120.0)}
+    preset_gf = _GF.get(os.environ.get("BENCH_PRESET", "clip16"))
     if (jax.default_backend() == "tpu" and mode in ("train", "eval")
-            and os.environ.get("BENCH_PRESET", "clip16") == "clip16"):
-        # GF-per-sample accounting is derived for the clip16 tower
-        # (BASELINE.md); other presets get raw samples/s only
-        gf_per_sample = 577.0 if mode == "train" else 192.0
+            and preset_gf is not None):
+        gf_per_sample = preset_gf[0] if mode == "train" else preset_gf[1]
         peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
         mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
     print(json.dumps({

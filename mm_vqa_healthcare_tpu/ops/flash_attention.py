@@ -366,8 +366,12 @@ def _packed_row_valid(ref, n):
 # self-attention auto-degrades to gb=1 — its grouped score family
 # overruns the budget — so the big-tile regime is untouched).
 _PACKED_GROUP = os.environ.get("MMVQA_ATTN_PACKED_GROUP", "auto")
+# 8 MB (batch32: swin train +2.8% over 4 MB, eval +0.5%): still leaves the
+# clip16 image self-attention at gb=1 (one 592x640 fp32 score family is
+# 4.4 MB eval / 6.8 MB dropout — a group of 2 would overrun), so only the
+# small-tile regimes group wider.  Mosaic re-checks actual VMEM at lowering.
 _GROUP_SCORE_BUDGET = int(os.environ.get("MMVQA_ATTN_GROUP_BUDGET",
-                                         4 * 2 ** 20))
+                                         8 * 2 ** 20))
 
 
 def _group_size(hb: int, sq_b: int, sk_b: int, n_f32: int,

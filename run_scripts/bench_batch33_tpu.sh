@@ -1,0 +1,31 @@
+#!/bin/bash
+# Batch 33 (round 2): post-grouping follow-ups.
+# 1) decode + t5_beam headline refresh (grouped kernels now default in the
+#    encode phase), 2) batch-scaling spot rows (swin eval b32, clip16
+#    train b64), 3) PROFILED swin train LAST (trace flush congests the
+#    tunnel into any following lane — NOTES_ROUND3 measurement hazard).
+cd /root/repo
+LOG=${1:-.tpu_batch33.log}
+{
+  echo "=== decode greedy b512 maxlen12 full-memory (headline refresh) $(date) ==="
+  BENCH_MODE=decode BENCH_BATCH=512 BENCH_DECODE_MAXLEN=12 \
+    BENCH_DECODE_MEMORY=full BENCH_STEPS=30 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== t5_beam b128 maxlen12 (headline refresh) $(date) ==="
+  BENCH_MODE=t5_beam BENCH_BATCH=128 BENCH_T5_MAXLEN=12 BENCH_STEPS=30 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== swin eval b32 $(date) ==="
+  BENCH_PRESET=swin32_base384 BENCH_MODE=eval BENCH_BATCH=32 BENCH_STEPS=50 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== clip16 train b64 $(date) ==="
+  BENCH_MODE=train BENCH_BATCH=64 BENCH_STEPS=50 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== pretrain b32 (refresh) $(date) ==="
+  BENCH_MODE=pretrain BENCH_BATCH=32 BENCH_STEPS=50 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== PROFILED swin train b32 (LAST) $(date) ==="
+  MMVQA_PROFILE_DIR=.profiles/r2_swin_train_grouped BENCH_PRESET=swin32_base384 \
+    BENCH_MODE=train BENCH_BATCH=32 BENCH_STEPS=30 \
+    timeout 3600 python bench.py; echo rc=$?
+  echo "=== all done $(date) ==="
+} >> "$LOG" 2>&1
