@@ -30,6 +30,58 @@ _PACKED_ENABLED = os.environ.get("MMVQA_ATTN_PACKED", "1") == "1"
 _NEG_INF = -1e30  # large-negative for masking; safe in float32 softmax
 
 
+def _pallas_data_sharded(call, q, k, v, bias, seed, fold_seed: bool):
+    """Run a pallas attention entry point under jax.shard_map over the
+    mesh's data axis.
+
+    Why: pallas_call lowers to an opaque custom call which GSPMD cannot
+    partition — under a multi-device mesh it REPLICATES the inputs
+    (all-gather + full-batch compute on every chip; measured: the kernel
+    output comes back PartitionSpec() on an 8-device mesh).  shard_map is
+    the manual-partitioning contract: each device runs the kernel on its
+    local batch shard, matching the production dp layout.
+
+    Falls back to the plain call when no multi-device mesh is active, the
+    batch doesn't split evenly, or a periodic bias (batch dim 1 < bb < B,
+    kernel block index i % bb — the swin shifted-window family) would lose
+    phase alignment within a shard.
+
+    fold_seed: give each data shard a distinct in-kernel dropout stream
+    (the seed is otherwise replicated, which would correlate dropout masks
+    across per-device sub-batches).
+    """
+    from mm_vqa_healthcare_tpu.parallel import activation as act
+    from mm_vqa_healthcare_tpu.parallel.mesh import DATA_AXIS
+    bb = None if bias is None else bias.shape[0]
+    if not act.data_shardable(q.shape[0], bb):
+        return call(q, k, v, bias, seed)
+    mesh = act.activation_mesh()
+
+    def batch_spec(x):
+        from jax.sharding import PartitionSpec as P
+        return P(*((DATA_AXIS,) + (None,) * (x.ndim - 1)))
+
+    from jax.sharding import PartitionSpec as P
+    if bias is None:
+        bias_spec = None
+    elif bias.shape[0] == q.shape[0]:
+        bias_spec = batch_spec(bias)
+    else:
+        bias_spec = P(*((None,) * bias.ndim))
+
+    def local(q, k, v, bias, seed):
+        if fold_seed:
+            seed = seed + jax.lax.axis_index(DATA_AXIS).astype(
+                jnp.int32) * jnp.int32(1000003)
+        return call(q, k, v, bias, seed)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(batch_spec(q), batch_spec(k), batch_spec(v),
+                  bias_spec, P()),
+        out_specs=batch_spec(q), check_vma=False)(q, k, v, bias, seed)
+
+
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    bias: Optional[jax.Array]) -> jax.Array:
     """Reference attention: [B,H,Sq,D] x [B,H,Sk,D] -> [B,H,Sq,D]."""
@@ -73,16 +125,30 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         impl = _default_impl()
     if impl == "pallas":
         from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
-        seed = None
         if dropout_rate > 0.0:
             seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
-        return fused_attention(q, k, v, bias, dropout_rate=dropout_rate,
-                               dropout_seed=seed)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        return _pallas_data_sharded(
+            lambda q, k, v, b, s: fused_attention(
+                q, k, v, b, dropout_rate=dropout_rate, dropout_seed=s),
+            q, k, v, bias, seed, fold_seed=dropout_rate > 0.0)
+    # XLA path: anchor the TP activation layout (batch on data, heads on
+    # model) so the SPMD partitioner doesn't relayout around the
+    # split-heads transposes (MULTICHIP_r02 "Involuntary full
+    # rematerialization" on crossattention transpose/mul).  No-op without
+    # an active multi-device mesh.
+    from mm_vqa_healthcare_tpu.parallel import activation as act
+    from mm_vqa_healthcare_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    bhsd = (DATA_AXIS, MODEL_AXIS, None, None)
+    q = act.constrain(q, bhsd)
+    k = act.constrain(k, bhsd)
+    v = act.constrain(v, bhsd)
     out_probs_dropout = dropout_rate > 0.0
     depth = q.shape[-1]
     if not out_probs_dropout:
-        return _xla_attention(q, k, v, bias)
+        return act.constrain(_xla_attention(q, k, v, bias), bhsd)
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -93,7 +159,7 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return act.constrain(out.astype(q.dtype), bhsd)
 
 
 def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -115,18 +181,29 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     if impl == "pallas" and _PACKED_ENABLED:
         from mm_vqa_healthcare_tpu.ops.flash_attention import (
             fused_attention_packed)
-        seed = None
         if dropout_rate > 0.0:
             seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1,
                                       dtype=jnp.int32)
-        return fused_attention_packed(q, k, v, num_heads, bias,
-                                      dropout_rate=dropout_rate,
-                                      dropout_seed=seed)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        return _pallas_data_sharded(
+            lambda q, k, v, b, s: fused_attention_packed(
+                q, k, v, num_heads, b, dropout_rate=dropout_rate,
+                dropout_seed=s),
+            q, k, v, bias, seed, fold_seed=dropout_rate > 0.0)
+    # anchor the packed TP layout (lanes = heads on the model axis) before
+    # the head-split relayouts — see dot_product_attention
+    from mm_vqa_healthcare_tpu.parallel import activation as act
+    from mm_vqa_healthcare_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    bsd = (DATA_AXIS, None, MODEL_AXIS)
+    q = act.constrain(q, bsd)
+    k = act.constrain(k, bsd)
+    v = act.constrain(v, bsd)
     ctx = dot_product_attention(
         split_heads(q, num_heads), split_heads(k, num_heads),
         split_heads(v, num_heads), bias, impl=impl,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
-    return merge_heads(ctx)
+    return act.constrain(merge_heads(ctx), bsd)
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

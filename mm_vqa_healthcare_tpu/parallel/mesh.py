@@ -38,7 +38,13 @@ def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
     assert total <= n, f"mesh {mesh_shape} needs {total} devices, have {n}"
     dev_array = np.asarray(devices[:total]).reshape(
         mesh_shape[DATA_AXIS], mesh_shape[MODEL_AXIS])
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    # publish as the activation mesh: attention shard_maps its pallas
+    # kernels over the data axis and constrains TP activation layouts
+    # against the CURRENT mesh (parallel/activation.py; no-op at size 1)
+    from mm_vqa_healthcare_tpu.parallel.activation import set_activation_mesh
+    set_activation_mesh(mesh)
+    return mesh
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

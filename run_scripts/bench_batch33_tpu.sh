@@ -5,7 +5,7 @@
 #    default in the encode phase), 2) group-budget 16MB probe (swin won
 #    4->8MB +2.8%; does 16 help? clip16 image tiles would group at gb=2 —
 #    VMEM-risk experiment, a compile failure is an acceptable outcome),
-# 3) batch-scaling spot rows, 4) PROFILED swin train LAST (trace flush
+# 3) one batch-scaling spot row (swin eval b32), 4) PROFILED swin train LAST (trace flush
 #    congests the tunnel into any following lane — NOTES_ROUND3 hazard).
 cd /root/repo
 LOG=${1:-.tpu_batch33.log}

@@ -58,10 +58,25 @@ def pytest_configure(config):
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
 
 
+# Fast smoke tier (`pytest -m fast`, run_scripts/test_fast.sh): <2 min on
+# this 1-vCPU host.  Whole modules here are cheap end to end; heavier
+# modules contribute individual tests via explicit @pytest.mark.fast.
+# The full suite stays the round-end gate (SURVEY.md §4).
+_FAST_MODULES = {
+    "test_config.py",          # config composition + run-script grammar
+    "test_metrics.py",         # metric semantics incl. bug-compat quirks
+    "test_attention_sharding.py",  # pallas-under-GSPMD partitioning
+    "test_prepro.py",          # arrow writers + glossary
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    import os as _os
     import jax
     on_tpu = jax.default_backend() == "tpu"
     skip = pytest.mark.skip(reason="requires real TPU")
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip)
+        if _os.path.basename(str(item.fspath)) in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)

@@ -74,6 +74,7 @@ def test_fused_causal():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_FWD_TOL)
 
 
+@pytest.mark.fast
 def test_fused_backward_matches_xla():
     b, h, sq, sk, d = 2, 2, 17, 33, 32
     q, k, v = _rand((b, h, sq, d), 0), _rand((b, h, sk, d), 1), _rand((b, h, sk, d), 2)
@@ -174,6 +175,7 @@ def _packed_ref(q3, k3, v3, h, bias):
     (16, 16, 2, 64), (33, 129, 3, 64), (5, 577, 12, 64), (32, 577, 12, 64),
     (16, 16, 2, 32),   # tiny_debug head_dim
 ])
+@pytest.mark.fast
 def test_packed_matches_xla_forward(sq, sk, h, d):
     from mm_vqa_healthcare_tpu.ops.flash_attention import (
         fused_attention_packed)
@@ -188,6 +190,7 @@ def test_packed_matches_xla_forward(sq, sk, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_FWD_TOL)
 
 
+@pytest.mark.fast
 def test_packed_backward_matches_xla():
     from mm_vqa_healthcare_tpu.ops.flash_attention import (
         fused_attention_packed)

@@ -36,6 +36,7 @@ def _grads(params, seed):
 
 
 @pytest.mark.parametrize("cls", [FusedAdamW, LeafFusedAdamW])
+@pytest.mark.fast
 def test_fused_adamw_matches_optax_exactly(cls):
     params, labels = _tree()
     lr, wd, mh, mm = 1e-3, 0.01, 50.0, 5.0
@@ -69,6 +70,7 @@ def test_fused_adamw_matches_optax_exactly(cls):
 
 
 @pytest.mark.parametrize("cls", [FusedAdamW, LeafFusedAdamW])
+@pytest.mark.fast
 def test_fused_adamw_skips_non_float_leaves(cls):
     params = {"w": jnp.ones((4, 4), jnp.float32),
               "steps": jnp.zeros((), jnp.int32)}
@@ -123,6 +125,7 @@ def test_trainer_fused_matches_multitransform(tmp_path):
                                    err_msg=str(k))
 
 
+@pytest.mark.fast
 def test_leaf_fused_frozen_passthrough_and_stable_structure():
     """Frozen leaves: no moments allocated, params pass through unchanged;
     and the opt-state pytree structure is IDENTICAL between init and the

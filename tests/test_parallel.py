@@ -17,6 +17,7 @@ def _spec(*parts):
     return leaf_spec(tuple(_K(p) for p in parts))
 
 
+@pytest.mark.fast
 def test_partition_rules():
     # column-parallel: attention q/k/v, MLP up, packed in_proj
     assert _spec("attention", "self", "query", "kernel") == P(None, "model")
@@ -47,6 +48,7 @@ def test_dp_vs_tp_exactness():
     assert abs(loss_dp - loss_tp) < 1e-3
 
 
+@pytest.mark.fast
 def test_fsdp_spec_rules():
     """FSDP adds a data-axis storage shard on the largest free,
     evenly-divisible dim; small leaves and indivisible shapes replicate;
@@ -66,6 +68,7 @@ def test_fsdp_spec_rules():
     assert _with_fsdp(P(), (1, 577, 768), 8, 0) == P(None, None, "data")
 
 
+@pytest.mark.fast
 def test_fsdp_params_actually_sharded():
     """shard_params(fsdp=True) must produce leaves whose addressable shard
     is 1/data_size of the full array (ZeRO-3 storage)."""

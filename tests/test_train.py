@@ -13,6 +13,7 @@ def vqa_data(tmp_path_factory):
     return fixtures.make_vqa_fixture(str(root))
 
 
+@pytest.mark.fast
 def test_optimizer_group_labels():
     """Reference set_schedule grouping (m3ae_utils.py:121-201): heads x100,
     multi_modal x5, biases/LN no-decay — and the quirk that CLIP ln_1/ln_2
@@ -30,6 +31,7 @@ def test_optimizer_group_labels():
     assert group_label("mim_head.decoder_norm.weight") == "head_nd"  # "norm.weight"
 
 
+@pytest.mark.fast
 def test_finetune_classifier_tiny(vqa_data):
     from mm_vqa_healthcare_tpu.train.trainer import Trainer
     data_root, label2ans, vocab = vqa_data
@@ -55,6 +57,7 @@ def test_test_only_eval(vqa_data):
     assert "test/rouge1" in metrics
 
 
+@pytest.mark.fast
 def test_grad_accumulation_math():
     """grad_steps = batch_size // (per_gpu_batchsize * num_devices)
     (reference main.py:50)."""
