@@ -197,11 +197,18 @@ def bench_realdata(batch_size: int, steps: int, dtype: str):
     # threefry key here would pay ~20 ALU ops/word for dropout bits)
     rng = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
 
+    # BENCH_OVERLAP=0 disables the double-buffered H2D pipeline (A/B
+    # control; production default is overlap on — config overlap_h2d)
+    overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
+
     def epoch_steps(epoch, limit, measure=False):
+        from mm_vqa_healthcare_tpu.train.trainer import device_prefetch
         n = 0
         t0 = time.perf_counter()
-        for batch in trainer.dm.train_loader(epoch):
-            dev = trainer._device_batch(batch)
+        batches = trainer.dm.train_loader(epoch)
+        batches = (device_prefetch(batches, trainer._device_batch)
+                   if overlap else map(trainer._device_batch, batches))
+        for dev in batches:
             trainer.params, trainer.opt_state, aux = step(
                 trainer.params, trainer.opt_state, dev,
                 jax.random.fold_in(rng, epoch * 10000 + n))
@@ -681,9 +688,13 @@ def main():
             "vs_baseline": round(sps / jax.device_count() / baseline, 3),
             "detail": {"per_chip_batch": batch_size, "dtype": dtype,
                        "image_size": 384,
-                       "pipeline": ("arrow+jpeg+randaug+device_resize"
-                                    if os.environ.get("BENCH_DEVRESIZE") == "1"
-                                    else "arrow+jpeg+randaug"),
+                       "pipeline": ("arrow+jpeg+randaug"
+                                    + ("+device_resize"
+                                       if os.environ.get("BENCH_DEVRESIZE")
+                                       == "1" else "")
+                                    + ("+h2d_overlap"
+                                       if os.environ.get("BENCH_OVERLAP", "1")
+                                       == "1" else "")),
                        "step_time_ms": round(step_s * 1000, 2),
                        "baseline_note": f"A6000 torch-eager estimate "
                                         f"{baseline} samples/s"},
@@ -834,14 +845,20 @@ def main():
     # GF-per-sample accounting per preset (derivations in BASELINE.md):
     # clip16 = ViT-B/16@577tok + BERT + 6x2 fusion; swin32_base384 =
     # swin-base@384 (94 GF tower, = timm's 47.1 GMACs) + BERT + fusion
-    # over the 144-token image stream.
-    _GF = {"clip16": (577.0, 192.0), "swin32_base384": (360.0, 120.0)}
+    # over the 144-token image stream.  pretrain (clip16 @288, text 64,
+    # mlm+mim+itm) = 778.8 GF/sample, XLA-audited executed flops
+    # (run_scripts/flops_audit.py; BASELINE.md derivation).
+    _GF = {"clip16": (577.0, 192.0, 778.8),
+           "swin32_base384": (360.0, 120.0, None)}
     preset_gf = _GF.get(os.environ.get("BENCH_PRESET", "clip16"))
-    if (jax.default_backend() == "tpu" and mode in ("train", "eval")
+    if (jax.default_backend() == "tpu"
+            and mode in ("train", "eval", "pretrain")
             and preset_gf is not None):
-        gf_per_sample = preset_gf[0] if mode == "train" else preset_gf[1]
-        peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
-        mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
+        gf_per_sample = {"train": preset_gf[0], "eval": preset_gf[1],
+                         "pretrain": preset_gf[2]}[mode]
+        if gf_per_sample is not None:
+            peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
+            mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
     print(json.dumps({
         "metric": f"vqa_rad_finetune_{mode}_samples_per_sec_per_chip",
         "value": round(sps_chip, 2),

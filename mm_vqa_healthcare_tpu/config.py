@@ -205,6 +205,13 @@ def base_config() -> Dict[str, Any]:
         # token-parity oracle) or "device" (one jitted lax.scan, no
         # per-token host round trips — decode/beam_device.py).
         beam_impl="host",
+        # Overlap host->device batch transfer with device compute (a
+        # producer thread device_puts batch N+1 while step N runs).  The
+        # reference's torch DataLoader + CUDA streams get this implicitly;
+        # on an explicit-transfer backend it must be pipelined by hand —
+        # the realdata lanes on the bench host are transfer-bound without
+        # it (PERF.md batch34).
+        overlap_h2d=True,
         # Log every N steps (reference main.py:71).
         log_every_n_steps=10,
         # Enable jax NaN checking (debug; SURVEY.md §5 sanitizer rebuild).

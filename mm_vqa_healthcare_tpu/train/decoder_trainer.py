@@ -338,8 +338,15 @@ class DecoderTrainer:
         step = 0
         max_epoch = cfg["max_epoch"]
         for epoch in range(max_epoch):
-            for batch in dm.train_loader(epoch):
-                dev_batch = self._device_batch(batch, with_targets=True)
+            from mm_vqa_healthcare_tpu.train.trainer import device_prefetch
+            batches = dm.train_loader(epoch)
+            if cfg.get("overlap_h2d", True):
+                batches = device_prefetch(
+                    batches, lambda b: self._device_batch(b, with_targets=True))
+            else:
+                batches = (self._device_batch(b, with_targets=True)
+                           for b in batches)
+            for dev_batch in batches:
                 rng = jax.random.fold_in(self.rng, step)
                 self.params, self.opt_state, loss, preds = train_step(
                     self.params, self.opt_state, dev_batch, rng)

@@ -461,8 +461,19 @@ class T5Trainer:
         train_step = self._get_jitted("train")
         step = 0
         for epoch in range(cfg["max_epoch"]):
-            for batch in dm.train_loader(epoch):
-                dev_batch = self._device_batch(batch, with_labels=True)
+            from mm_vqa_healthcare_tpu.train.trainer import device_prefetch
+
+            def to_dev(b):
+                # host ground-truth strings ride along for train metrics
+                return (self._device_batch(b, with_labels=True),
+                        [a[0] for a in b["vqa_answer"]])
+
+            batches = dm.train_loader(epoch)
+            if cfg.get("overlap_h2d", True):
+                batches = device_prefetch(batches, to_dev)
+            else:
+                batches = map(to_dev, batches)
+            for dev_batch, truths in batches:
                 rng = jax.random.fold_in(self.rng, step)
                 self.params, self.opt_state, loss = train_step(
                     self.params, self.opt_state, dev_batch, rng)
@@ -478,7 +489,6 @@ class T5Trainer:
                         seqs = self.generate(dev_batch, rng)
                         texts = self.t5_tokenizer.batch_decode(
                             seqs, skip_special_tokens=True)
-                        truths = [a[0] for a in batch["vqa_answer"]]
                         tm.update(texts, truths[: len(texts)])
                         record.update(tm.compute())
                     self.logger.log_step("train", step, record)

@@ -75,6 +75,35 @@ def prepare_image_batch(batch, mean, std, image_size: int):
     return out
 
 
+def device_prefetch(host_iter, to_device, depth: int = 2):
+    """Double-buffered host->device pipeline: `to_device(batch N+1)` runs
+    in a producer thread while the main thread dispatches step N, so the
+    H2D transfer overlaps device compute.  The reference gets this for
+    free from torch DataLoader workers + CUDA async copies; with explicit
+    device_put it must be pipelined by hand — without it the realdata
+    train lane on the bench host serializes a ~14 MB uint8 batch transfer
+    (~100 MB/s tunnel) against every step.  depth bounds the number of
+    batches in flight on device."""
+    import queue
+    import threading
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in host_iter:
+                q.put(to_device(item))
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 def prepare_vqa_arrays(batch: Dict[str, Any], label_size: int) -> Dict[str, np.ndarray]:
     """Host-side: densify vqa_labels/scores into [B, label_size] soft targets
     (reference objectives.py:188-197) + answer types + validity mask."""
@@ -356,12 +385,16 @@ class Trainer:
         profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
         t0 = time.time()
         while micro_step < micro_steps_total and epoch < cfg["max_epoch"]:
-            for batch in dm.train_loader(epoch):
+            batches = dm.train_loader(epoch)
+            if cfg.get("overlap_h2d", True):
+                batches = device_prefetch(batches, self._device_batch)
+            else:
+                batches = map(self._device_batch, batches)
+            for dev_batch in batches:
                 if profile_dir and micro_step == 3:
                     jax.profiler.start_trace(profile_dir)
                 if profile_dir and micro_step == 8:
                     jax.profiler.stop_trace()
-                dev_batch = self._device_batch(batch)
                 rng = jax.random.fold_in(self.rng, micro_step)
                 self.params, self.opt_state, aux = train_step(
                     self.params, self.opt_state, dev_batch, rng)
