@@ -248,7 +248,13 @@ class M3AE(nn.Module):
             ret["mim_masks"] = mim_masks
             ret["mim_ids_restore"] = mim_ids_restore
         else:
-            uni_image = self.vision_encoder(img)
+            if cfg.is_clip:
+                uni_image = self.vision_encoder(img)
+            else:
+                # swin trains with stochastic depth (reference
+                # swin_transformer.py:437 drop_path_rate=0.1 default)
+                uni_image = self.vision_encoder(
+                    img, deterministic=deterministic)
         uni_image = self.multi_modal_vision_proj(uni_image.astype(dtype))
         image_masks = jnp.ones(uni_image.shape[:2], jnp.int32)
         # image tokens are never padded (reference builds an all-ones mask,

@@ -39,6 +39,12 @@ class SwinConfig:
     num_heads: Tuple[int, ...] = (4, 8, 16, 32)
     window_size: int = 12
     mlp_ratio: float = 4.0
+    # Stochastic depth (timm DropPath): the reference swin ctors leave the
+    # SwinTransformer default drop_path_rate=0.1 in place
+    # (swin_transformer.py:437,468 — linspace decay 0 -> rate over all
+    # blocks); drop_rate and attn_drop_rate stay 0 there, so DropPath is
+    # the ONLY stochastic regularizer in reference swin training.
+    drop_path_rate: float = 0.1
     attention_impl: str = "auto"
     # Window-resident layout (PERF.md swin profile: window partition /
     # reverse transposes were ~27% of device time).  Bitwise-identical
@@ -248,6 +254,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     attention_impl: str = "auto"
     packed: bool = True
+    drop_path: float = 0.0
     # When True the block consumes/produces the window-resident layout
     # [B, nWh, nWw, ws, ws, C]: non-shifted blocks need ZERO layout ops
     # (the window view is a free reshape), shifted blocks use two
@@ -255,13 +262,13 @@ class SwinBlock(nn.Module):
     windowed: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         hh, ww = self.input_resolution
         ws, shift = self.window_size, self.shift_size
         if min(hh, ww) <= ws:
             ws, shift = min(hh, ww), 0
         if self.windowed:
-            return self._windowed(x, ws, shift, hh, ww)
+            return self._windowed(x, ws, shift, hh, ww, deterministic)
         b, l, c = x.shape
         shortcut = x
         x = LayerNorm(name="norm1")(x).reshape(b, hh, ww, c)
@@ -277,15 +284,27 @@ class SwinBlock(nn.Module):
         x = window_reverse(attn, ws, hh, ww)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, l, c)
+        x = shortcut + self._drop_path(x.reshape(b, l, c), deterministic)
         h = LayerNorm(name="norm2")(x)
         h = Dense(int(c * self.mlp_ratio), name="fc1")(h)
         h = gelu_exact(h)
         h = Dense(c, name="fc2")(h)
-        return x + h
+        return x + self._drop_path(h, deterministic)
+
+    def _drop_path(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """timm DropPath (stochastic depth): with prob `drop_path` zero the
+        residual branch PER SAMPLE and rescale survivors by 1/keep
+        (reference swin_transformer.py:299-300 wraps both residual adds).
+        Batch is axis 0 in both layouts."""
+        if deterministic or self.drop_path <= 0.0:
+            return x
+        keep = 1.0 - self.drop_path
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
     def _windowed(self, x: jax.Array, ws: int, shift: int,
-                  hh: int, ww: int) -> jax.Array:
+                  hh: int, ww: int, deterministic: bool = True) -> jax.Array:
         """Window-resident block: x is [B, nWh, nWw, ws, ws, C].  Every op
         is either layout-agnostic (LN / MLP / residual, last-axis only) or
         a free reshape to the [B*nW, n, C] window batch — bitwise-identical
@@ -307,12 +326,12 @@ class SwinBlock(nn.Module):
         if shift > 0:
             attn = windowed_roll(attn, shift, 1, 3)
             attn = windowed_roll(attn, shift, 2, 4)
-        x = shortcut + attn
+        x = shortcut + self._drop_path(attn, deterministic)
         h = LayerNorm(name="norm2")(x)
         h = Dense(int(c * self.mlp_ratio), name="fc1")(h)
         h = gelu_exact(h)
         h = Dense(c, name="fc2")(h)
-        return x + h
+        return x + self._drop_path(h, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -336,9 +355,16 @@ class SwinTransformer(nn.Module):
     cfg: SwinConfig
 
     @nn.compact
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def __call__(self, img: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         """NHWC image -> [B, L, num_features] sequence (no head)."""
         cfg = self.cfg
+        # stochastic-depth decay rule: linspace 0 -> drop_path_rate over
+        # all blocks (reference swin_transformer.py:468)
+        total_blocks = sum(cfg.depths)
+        dpr = [cfg.drop_path_rate * t / max(total_blocks - 1, 1)
+               for t in range(total_blocks)]
+        block_idx = 0
         p = cfg.patch_size
         b, hh, ww, _ = img.shape
         x = img.reshape(b, hh // p, p, ww // p, p, 3)
@@ -370,7 +396,9 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=cfg.mlp_ratio,
                     attention_impl=cfg.attention_impl,
                     windowed=windowed, packed=cfg.packed,
-                    name=f"layers_{i}_blocks_{j}")(x)
+                    drop_path=dpr[block_idx],
+                    name=f"layers_{i}_blocks_{j}")(x, deterministic)
+                block_idx += 1
             if windowed:
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, rh * rw, dim)
             if i < len(cfg.depths) - 1:

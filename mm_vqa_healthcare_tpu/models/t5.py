@@ -44,6 +44,10 @@ class T5Config:
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
+    # full-sequence attention implementation ("auto" -> fused pallas kernel
+    # on TPU with scale=1.0 for T5's no-sqrt(d) convention; incremental
+    # decode keeps the einsum path)
+    attention_impl: str = "auto"
 
 
 T5_PRESETS = {
@@ -170,7 +174,39 @@ class T5Attention(nn.Module):
                 v = jax.lax.dynamic_update_slice(cache["v"], v,
                                                  (0, 0, cache_index, 0))
                 cache = {"k": k, "v": v}
-        # T5: NO sqrt(d) scaling
+        if cache is None and kv is None:
+            # Full-sequence SELF-attention (encoder over the 512-token soft
+            # prompt, teacher-forced decoder): the fused kernel with
+            # scale=1.0 (T5's no-sqrt(d) convention) streams the softmax
+            # instead of materializing [B,H,S,S] fp32 scores — the 512²
+            # encoder scores were 29% of the t5_train step (PERF.md
+            # batch36 profile).  Biases combine into one additive operand;
+            # the production mm-head mask is all-ones (reference
+            # m3ae_t5_mm_encoder_input.py:100-190), so the combined bias
+            # stays the [1,H,S,S] shared relative-position table.
+            # Teacher-forced CROSS-attention (q_len 12 vs 512 keys) stays
+            # on the einsum path: that shape SIGABRTs the TPU backend
+            # compiler (jellyfish 'limits[i] <= dim(i) (4 vs. 1)', batch37
+            # probe run_scripts/probe_t5_attn_shapes.py), and its score
+            # tensor is 40× smaller than the encoder's anyway.
+            from mm_vqa_healthcare_tpu.ops.attention import (
+                dot_product_attention)
+            if position_bias is not None and mask_bias is not None:
+                bias = (position_bias.astype(jnp.float32)
+                        + mask_bias.astype(jnp.float32))
+            elif position_bias is not None:
+                bias = position_bias
+            else:
+                bias = mask_bias
+            rate = 0.0 if deterministic else cfg.dropout_rate
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            ctx = dot_product_attention(
+                q, k, v, bias, impl=cfg.attention_impl, scale=1.0,
+                dropout_rate=rate, dropout_rng=rng)
+            return self.o(merge_heads(ctx))
+        # einsum path: incremental decode (q_len == 1 — a kernel launch
+        # per token would lose to dispatch) and teacher-forced cross-attn
+        # (see compiler-bug note above).  T5: NO sqrt(d) scaling.
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if position_bias is not None:

@@ -190,9 +190,12 @@ class T5VQAModel(nn.Module):
             embeds = jnp.pad(embeds, ((0, 0), (0, max_len - seq_len), (0, 0)))
         else:
             embeds = embeds[:, :max_len]
-        # reference masks NOTHING: all-ones over the padded 512 (:173-178)
-        mask = jnp.ones((b, embeds.shape[1]), jnp.int32)
-        return embeds, mask
+        # reference masks NOTHING: all-ones over the padded 512 (:173-178).
+        # An all-ones mask is exactly a zero additive bias, so return None —
+        # the encoder self-attention then streams only the shared [1,H,S,S]
+        # relative-position bias through the fused kernel instead of
+        # materializing a per-sample [B,H,S,S] combined bias.
+        return embeds, None
 
     def _project_cls(self, rng, cls):
         if self.cfg.bug_compat:

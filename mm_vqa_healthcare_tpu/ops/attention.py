@@ -83,10 +83,12 @@ def _pallas_data_sharded(call, q, k, v, bias, seed, fold_seed: bool):
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                   bias: Optional[jax.Array]) -> jax.Array:
+                   bias: Optional[jax.Array],
+                   scale: Optional[float] = None) -> jax.Array:
     """Reference attention: [B,H,Sq,D] x [B,H,Sk,D] -> [B,H,Sq,D]."""
     depth = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
@@ -107,7 +109,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           impl: str = "auto",
                           dropout_rate: float = 0.0,
-                          dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+                          dropout_rng: Optional[jax.Array] = None,
+                          scale: Optional[float] = None) -> jax.Array:
     """Scaled dot-product attention over [B, H, S, D] operands.
 
     Args:
@@ -132,7 +135,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             seed = jnp.zeros((), jnp.int32)
         return _pallas_data_sharded(
             lambda q, k, v, b, s: fused_attention(
-                q, k, v, b, dropout_rate=dropout_rate, dropout_seed=s),
+                q, k, v, b, dropout_rate=dropout_rate, dropout_seed=s,
+                scale=scale),
             q, k, v, bias, seed, fold_seed=dropout_rate > 0.0)
     # XLA path: anchor the TP activation layout (batch on data, heads on
     # model) so the SPMD partitioner doesn't relayout around the
@@ -148,8 +152,9 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     out_probs_dropout = dropout_rate > 0.0
     depth = q.shape[-1]
     if not out_probs_dropout:
-        return act.constrain(_xla_attention(q, k, v, bias), bhsd)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+        return act.constrain(_xla_attention(q, k, v, bias, scale), bhsd)
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
@@ -167,8 +172,8 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                                  bias: Optional[jax.Array] = None,
                                  impl: str = "auto",
                                  dropout_rate: float = 0.0,
-                                 dropout_rng: Optional[jax.Array] = None
-                                 ) -> jax.Array:
+                                 dropout_rng: Optional[jax.Array] = None,
+                                 scale: Optional[float] = None) -> jax.Array:
     """Attention on PACKED [B, S, H*D] operands (the projection layout).
 
     On the pallas path this skips the [B,S,H,D]<->[B,H,S,D] relayouts
@@ -189,7 +194,7 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
         return _pallas_data_sharded(
             lambda q, k, v, b, s: fused_attention_packed(
                 q, k, v, num_heads, b, dropout_rate=dropout_rate,
-                dropout_seed=s),
+                dropout_seed=s, scale=scale),
             q, k, v, bias, seed, fold_seed=dropout_rate > 0.0)
     # anchor the packed TP layout (lanes = heads on the model axis) before
     # the head-split relayouts — see dot_product_attention
@@ -202,7 +207,7 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     ctx = dot_product_attention(
         split_heads(q, num_heads), split_heads(k, num_heads),
         split_heads(v, num_heads), bias, impl=impl,
-        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng, scale=scale)
     return act.constrain(merge_heads(ctx), bsd)
 
 

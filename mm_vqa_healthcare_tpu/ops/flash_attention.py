@@ -247,9 +247,10 @@ def _check_specs(*triples):
         check_block(block, shape, what)
 
 
-def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
+def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None,
+         scale=None):
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
-    scale = 1.0 / (d ** 0.5)
+    scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=3, op_mult=2,
                      dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
@@ -291,9 +292,10 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None):
     return out
 
 
-def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None):
+def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None,
+         scale=None):
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
-    scale = 1.0 / (d ** 0.5)
+    scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=5, op_mult=4,
                      dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET)
     bias = _norm_bias(bias, b, sq, sk)
@@ -651,11 +653,12 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
+def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
+                scale=None):
     b, sq, dm = q.shape
     sk = k.shape[1]
     d = dm // num_heads
-    scale = 1.0 / (d ** 0.5)
+    scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     sq_b = _round_up(max(sq, 8), _SUBLANE)
     sk_b = _round_up(max(sk, _LANE), _LANE)
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
@@ -699,11 +702,12 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed):
     )(q, k, v, bias, *extra)
 
 
-def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
+def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
+                scale=None):
     b, sq, dm = q.shape
     sk = k.shape[1]
     d = dm // num_heads
-    scale = 1.0 / (d ** 0.5)
+    scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     sq_b = _round_up(max(sq, 8), _SUBLANE)
     sk_b = _round_up(max(sk, _LANE), _LANE)
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
@@ -754,21 +758,22 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed):
     )(q, k, v, bias, do, *extra)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 8))
 def _fused_attention_packed(q, k, v, bias, num_heads, interpret,
-                            dropout_rate, seed):
+                            dropout_rate, seed, scale):
     return _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate,
-                       seed)
+                       seed, scale)
 
 
 def _fused_attention_packed_fwd(q, k, v, bias, num_heads, interpret,
-                                dropout_rate, seed):
+                                dropout_rate, seed, scale):
     out = _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate,
-                      seed)
+                      seed, scale)
     return out, (q, k, v, bias, seed)
 
 
-def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, res, g):
+def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, scale,
+                                res, g):
     q, k, v, bias, seed = res
     b, sq, dm = q.shape
     sk = k.shape[1]
@@ -786,11 +791,11 @@ def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, res, g):
                              _split_heads(k, num_heads),
                              _split_heads(v, num_heads), bias,
                              _split_heads(g, num_heads), interpret,
-                             dropout_rate, seed)
+                             dropout_rate, seed, scale)
         return (_merge_heads(dqs), _merge_heads(dks), _merge_heads(dvs),
                 None, None)
     dq, dk, dv = _packed_bwd(q, k, v, bias, g, num_heads, interpret,
-                             dropout_rate, seed)
+                             dropout_rate, seed, scale)
     return dq, dk, dv, None, None
 
 
@@ -803,8 +808,8 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias: Optional[jax.Array] = None,
                            interpret: Optional[bool] = None,
                            dropout_rate: float = 0.0,
-                           dropout_seed: Optional[jax.Array] = None
-                           ) -> jax.Array:
+                           dropout_seed: Optional[jax.Array] = None,
+                           scale: Optional[float] = None) -> jax.Array:
     """Fused attention on PACKED [B, S, H*D] operands (projection layout).
 
     Numerically identical to fused_attention on the split layout —
@@ -826,25 +831,26 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
         out = _fused_attention(
             _split_heads(q, num_heads), _split_heads(k, num_heads),
             _split_heads(v, num_heads), bias, interpret,
-            float(dropout_rate), dropout_seed)
+            float(dropout_rate), dropout_seed, scale)
         return _merge_heads(out)
     return _fused_attention_packed(q, k, v, bias, num_heads, interpret,
-                                   float(dropout_rate), dropout_seed)
+                                   float(dropout_rate), dropout_seed, scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_attention(q, k, v, bias, interpret, dropout_rate, seed):
-    return _fwd(q, k, v, bias, interpret, dropout_rate, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
+def _fused_attention(q, k, v, bias, interpret, dropout_rate, seed, scale):
+    return _fwd(q, k, v, bias, interpret, dropout_rate, seed, scale)
 
 
-def _fused_attention_fwd(q, k, v, bias, interpret, dropout_rate, seed):
-    out = _fwd(q, k, v, bias, interpret, dropout_rate, seed)
+def _fused_attention_fwd(q, k, v, bias, interpret, dropout_rate, seed,
+                         scale):
+    out = _fwd(q, k, v, bias, interpret, dropout_rate, seed, scale)
     return out, (q, k, v, bias, seed)
 
 
-def _fused_attention_bwd(interpret, dropout_rate, res, g):
+def _fused_attention_bwd(interpret, dropout_rate, scale, res, g):
     q, k, v, bias, seed = res
-    dq, dk, dv = _bwd(q, k, v, bias, g, interpret, dropout_rate, seed)
+    dq, dk, dv = _bwd(q, k, v, bias, g, interpret, dropout_rate, seed, scale)
     return dq, dk, dv, None, None
 
 
@@ -855,7 +861,8 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
                     interpret: Optional[bool] = None,
                     dropout_rate: float = 0.0,
-                    dropout_seed: Optional[jax.Array] = None) -> jax.Array:
+                    dropout_seed: Optional[jax.Array] = None,
+                    scale: Optional[float] = None) -> jax.Array:
     """Fused single-tile attention.  q,k,v: [B, H, S, D]; bias additive.
 
     dropout_rate > 0 applies in-kernel dropout on the attention
@@ -873,4 +880,4 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if dropout_seed is None:
         dropout_seed = jnp.zeros((), jnp.int32)
     return _fused_attention(q, k, v, bias, interpret, float(dropout_rate),
-                            dropout_seed)
+                            dropout_seed, scale)

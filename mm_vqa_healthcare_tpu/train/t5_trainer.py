@@ -386,7 +386,7 @@ class T5Trainer:
                 step_args=(t5_params, enc, mask),
                 cache_split=(T5.split_cache, T5.merge_cache))
         enc_rep = jnp.repeat(enc, k, axis=0)
-        mask_rep = jnp.repeat(mask, k, axis=0)
+        mask_rep = None if mask is None else jnp.repeat(mask, k, axis=0)
         cache = t5.apply(t5_params, b * k, max_len, enc_rep,
                          method=T5.init_cache)
         return beam_search(

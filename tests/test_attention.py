@@ -9,7 +9,7 @@ import pytest
 
 from mm_vqa_healthcare_tpu.ops.attention import (
     _xla_attention, causal_bias, dot_product_attention,
-    extended_attention_mask)
+    dot_product_attention_packed, extended_attention_mask)
 from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
 
 _ON_TPU = jax.default_backend() == "tpu"
@@ -426,3 +426,31 @@ def test_group_size_divides_and_respects_budget():
         assert fa._group_size(8, 16, 128, 3, False) == 2
     finally:
         fa._PACKED_GROUP = orig
+
+
+@pytest.mark.fast
+def test_custom_scale_matches_xla():
+    """T5 convention: scale=1.0 (no 1/sqrt(d)).  The kernel's scale
+    parameter must match the XLA path fwd AND bwd (packed + split)."""
+    rng = np.random.default_rng(11)
+    b, s, h, d = 2, 24, 4, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(1, h, s, s)), jnp.float32)
+
+    def loss(impl):
+        return lambda q: jnp.sum(dot_product_attention_packed(
+            q, k, v, h, bias, impl=impl, scale=1.0) ** 2)
+
+    out_pl = dot_product_attention_packed(q, k, v, h, bias, impl="pallas",
+                                          scale=1.0)
+    out_x = dot_product_attention_packed(q, k, v, h, bias, impl="xla",
+                                         scale=1.0)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_x),
+                               atol=2e-5)
+    # scale actually matters: default (1/sqrt(d)) must differ
+    out_def = dot_product_attention_packed(q, k, v, h, bias, impl="pallas")
+    assert np.max(np.abs(np.asarray(out_def) - np.asarray(out_pl))) > 1e-3
+    g_pl = jax.grad(loss("pallas"))(q)
+    g_x = jax.grad(loss("xla"))(q)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x), atol=5e-5)

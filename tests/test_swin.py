@@ -211,3 +211,50 @@ def test_swin_packed_attention_parity():
                     jax.tree_util.tree_leaves(grads(m_ref))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_drop_path_stochastic_depth():
+    """Reference swin trains with stochastic depth (drop_path_rate=0.1
+    SwinTransformer default, linspace decay over blocks —
+    swin_transformer.py:437,468,299-300).  Deterministic mode must be
+    unchanged; train mode zeroes residual branches per sample."""
+    import jax
+    from mm_vqa_healthcare_tpu.models.swin import (
+        SwinConfig, SwinTransformer)
+
+    cfg = SwinConfig(image_size=32, embed_dim=16, depths=(1, 1),
+                     num_heads=(2, 2), window_size=4,
+                     attention_impl="xla", drop_path_rate=0.5)
+    model = SwinTransformer(cfg)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)),
+                      jnp.float32)
+    params = model.init(jax.random.key(0), img)
+    det = model.apply(params, img)
+    det2 = model.apply(params, img, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    tr = model.apply(params, img, deterministic=False,
+                     rngs={"dropout": jax.random.key(1)})
+    assert not np.allclose(np.asarray(det), np.asarray(tr))
+    # linspace decay: block 0 of 2 has rate 0 -> with depths=(1,) and a
+    # single block the first block never drops; with 2 blocks the second
+    # carries the full rate.  Different rngs give different masks.
+    tr2 = model.apply(params, img, deterministic=False,
+                      rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(tr), np.asarray(tr2))
+
+
+def test_drop_path_rate_zero_is_identity():
+    import jax
+    from mm_vqa_healthcare_tpu.models.swin import (
+        SwinConfig, SwinTransformer)
+    cfg = SwinConfig(image_size=32, embed_dim=16, depths=(1, 1),
+                     num_heads=(2, 2), window_size=4,
+                     attention_impl="xla", drop_path_rate=0.0)
+    model = SwinTransformer(cfg)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                      jnp.float32)
+    params = model.init(jax.random.key(0), img)
+    det = model.apply(params, img)
+    tr = model.apply(params, img, deterministic=False,
+                     rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(tr))

@@ -58,8 +58,10 @@ def test_prepare_inputs_shapes(vqa_data, variant):
     embeds, mask = t.model.apply(t.params, batch, jax.random.key(0),
                                  method=T5VQAModel.prepare_inputs)
     assert embeds.shape == (b, 512, 32)
-    assert mask.shape == (b, 512)
-    assert bool(jnp.all(mask == 1))  # reference: all-ones over padded 512
+    # reference: all-ones over the padded 512 — represented as mask=None
+    # (exactly a zero additive bias) so the encoder kernel streams only
+    # the shared relative-position bias
+    assert mask is None
 
 
 def test_encode_from_matches_encode(vqa_data):
