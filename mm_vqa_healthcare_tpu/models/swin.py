@@ -52,6 +52,17 @@ class SwinConfig:
     windowed: bool = True
     # Packed-layout window attention (see WindowAttention.packed).
     packed: bool = True
+    # Rematerialization policy for the backward pass ("none" | "dots" |
+    # "block").  Motivation was the batch36 profile (XLA involuntarily
+    # full-rematerializes the 302 MB 6-D windowed fusions at b32); the
+    # batch40 A/B measured BOTH policies as losses (b32: dots 124.2 /
+    # block 125.9 vs 151.5 none — XLA's selective spill-recovery beats
+    # block-granularity recompute; PERF.md batch40), so "none" stays the
+    # default and the knob remains for experimentation:
+    #   "dots"  — save matmul outputs, recompute elementwise (LN/gelu/
+    #             dropout masks): jax.checkpoint_policies.dots_saveable
+    #   "block" — save only block inputs, recompute everything
+    remat: str = "none"
 
     @property
     def num_features(self) -> int:
@@ -82,8 +93,9 @@ def swin_config(name: str, image_size: int,
     kw["image_size"] = image_size
     windowed = os.environ.get("MMVQA_SWIN_WINDOWED", "1") == "1"
     packed = os.environ.get("MMVQA_SWIN_PACKED", "1") == "1"
+    remat = os.environ.get("MMVQA_SWIN_REMAT", "none")
     return SwinConfig(attention_impl=attention_impl, windowed=windowed,
-                      packed=packed, **kw)
+                      packed=packed, remat=remat, **kw)
 
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -388,8 +400,16 @@ class SwinTransformer(nn.Module):
             if windowed:
                 x = x.reshape(b, rh // ws_eff, ws_eff, rw // ws_eff,
                               ws_eff, dim).transpose(0, 1, 3, 2, 4, 5)
+            if cfg.remat == "dots":
+                block_cls = nn.remat(
+                    SwinBlock, static_argnums=(2,),
+                    policy=jax.checkpoint_policies.dots_saveable)
+            elif cfg.remat == "block":
+                block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+            else:
+                block_cls = SwinBlock
             for j in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, num_heads=cfg.num_heads[i],
                     input_resolution=res, window_size=cfg.window_size,
                     shift_size=0 if j % 2 == 0 else cfg.window_size // 2,

@@ -202,7 +202,7 @@ def _norm_bias(bias, b, sq, sk):
     return bias
 
 
-def _bias_spec(bias_shape, sq_b, sk_b, hb):
+def _bias_spec(bias_shape, sq_b, sk_b, hb, wb=1):
     """Block spec honoring broadcast (size-1) bias dims.
 
     The batch dim may also be PERIODIC: a bias with 1 < bb < B batch rows
@@ -211,12 +211,19 @@ def _bias_spec(bias_shape, sq_b, sk_b, hb):
     carry a [B*nW] window-batch axis, so indexing i % bb streams the same
     nW mask rows for every image instead of materializing a [B*nW, ...]
     broadcast in HBM (reference swin_transformer.py:262-270 adds the mask
-    on a [B_, nW, H, N, N] view)."""
-    bb, bh, bq, _ = bias_shape
-    block = (1, hb if bh > 1 else 1, sq_b if bq > 1 else 1, sk_b)
+    on a [B_, nW, H, N, N] view).
 
-    def index(i, j, _bb=bb, _bh=bh):
-        return (i % _bb if _bb > 1 else 0, j if _bh > 1 else 0, 0, 0)
+    With a window-batched grid (wb > 1) the batch block carries wb bias
+    rows when the bias has a real batch axis (callers guarantee wb
+    divides bb then); index arithmetic is in BLOCK units, so the periodic
+    stream becomes i % (bb // wb)."""
+    bb, bh, bq, _ = bias_shape
+    bwb = wb if bb > 1 else 1
+    block = (bwb, hb if bh > 1 else 1, sq_b if bq > 1 else 1, sk_b)
+
+    def index(i, j, _bb=bb, _bh=bh, _bwb=bwb):
+        return (i % (_bb // _bwb) if _bb > 1 else 0,
+                j if _bh > 1 else 0, 0, 0)
 
     return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
 
@@ -390,15 +397,54 @@ def _group_size(hb: int, sq_b: int, sk_b: int, n_f32: int,
     return 1
 
 
-def _group_keep(shape_g, rate, seed_ref, num_heads, hb, t0, gb):
+# Window-batched grid for the packed kernels: each program consumes wb
+# batch rows instead of 1.  Motivation (batch36 swin train profile): the
+# window regime runs a (B*nW, heads) grid of 2048 programs whose operand
+# blocks are only ~36 KB — the attention custom-calls spend 49.8 ms/step
+# moving tiny DMA transfers for ~3 ms of MXU math.  Batching wb windows
+# per program divides the grid by wb and multiplies every operand fetch
+# by wb; the per-window math is an outer Python loop, so the fp32 score
+# family stays single-window-live (same liveness argument as the hb head
+# loop) and dropout streams keep their absolute-batch seeds
+# (bit-identical numerics, regression-locked).
+# MEASURED NEGATIVE (probe_swin_wb.py, .tpu_probe_wb.log, 2026-08-19):
+# on the real chip only stage1 (b=2048, nW=64) compiles at wb∈{2,4,8} and
+# stage2 at wb=2 — every other (stage, wb>1) combination crashes the TPU
+# backend compiler (tpu_compile_helper exit 1).  Where it does compile the
+# win is fwd-only and small (s1 fwd 3.33→2.88 ms at wb=4, grad flat;
+# s2 fwd −5% at wb=2), ≈0.7 ms of a 211 ms b32 train step (+0.3%).  The
+# grad path not moving says the grid/DMA overhead hypothesis was wrong —
+# the cost is elsewhere.  Default OFF; the plumbing stays (parity-locked
+# by tests) for experimentation via MMVQA_ATTN_WB=<n|auto>.
+_PACKED_WB = os.environ.get("MMVQA_ATTN_WB", "1")
+
+
+def _window_batch(b: int, d: int, bias_bb: int) -> int:
+    if _PACKED_WB in ("0", "1"):
+        return 1
+    cap = 8 if _PACKED_WB == "auto" else int(_PACKED_WB)
+    if _PACKED_WB == "auto" and d >= 64:
+        return 1
+    for wb in range(min(cap, b), 1, -1):
+        if b % wb:
+            continue
+        if bias_bb == 1 or bias_bb % wb == 0:
+            return wb
+    return 1
+
+
+def _group_keep(shape_g, rate, seed_ref, num_heads, hb, t0, gb, ab=None):
     """[gb, SQ, SK] keep-mask with the exact per-absolute-head streams of
     the per-head loop (seed per head, then draw), so grouping is
-    bit-identical to the ungrouped kernels even under dropout."""
-    i = pl.program_id(0)
+    bit-identical to the ungrouped kernels even under dropout.  `ab` is
+    the ABSOLUTE batch row (window-batched grids pass i*wb + w); default
+    is the program id (wb == 1)."""
+    if ab is None:
+        ab = pl.program_id(0)
     j = pl.program_id(1)
     keeps = []
     for t in range(t0, t0 + gb):
-        pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
+        pltpu.prng_seed(seed_ref[0], ab * num_heads + (j * hb + t))
         keeps.append(_dropout_keep_mask(shape_g[1:], rate))
     return jnp.stack(keeps, axis=0)
 
@@ -420,199 +466,215 @@ def _ungroup(out, gb):
 
 
 def _packed_fwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                               scale, sk, num_heads, hb, d, gb,
-                               dropout_rate=0.0, seed_ref=None):
+                               scale, sk, num_heads, hb, d, gb, wb=1,
+                               bias_wb=False, dropout_rate=0.0,
+                               seed_ref=None):
     kvalid = _packed_row_valid(k_ref, sk)
-    q_all = q_ref[0]                               # [SQb, hb*d]
-    k_all = k_ref[0]                               # [SKb, hb*d]
-    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
-    for t0 in range(0, hb, gb):
-        sl = slice(t0 * d, (t0 + gb) * d)
-        qg = _group_view(q_all, t0, gb, d)
-        kg = _group_view(k_all, t0, gb, d)
-        vg = _group_view(v_all, t0, gb, d)
-        scores = jax.lax.dot_general(
-            qg, kg, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [gb, SQb, SKb]
-        bsl = bias_ref[0]
-        bsl = (bsl[t0:t0 + gb] if bsl.shape[0] > 1
-               else jnp.broadcast_to(bsl, (gb,) + bsl.shape[1:]))
-        scores = scores + bsl.astype(jnp.float32)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
-        scores = jnp.where(kmask, scores, _NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        if dropout_rate > 0.0:
-            keep = _group_keep(probs.shape, dropout_rate, seed_ref,
-                               num_heads, hb, t0, gb)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-        out = jax.lax.dot_general(probs.astype(vg.dtype), vg,
-                                  (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = _ungroup(out, gb).astype(o_ref.dtype)
+    i = pl.program_id(0)
+    for w in range(wb):
+        q_all = q_ref[w]                           # [SQb, hb*d]
+        k_all = k_ref[w]                           # [SKb, hb*d]
+        v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
+        bias_w = bias_ref[w if bias_wb else 0]
+        ab = i * wb + w
+        for t0 in range(0, hb, gb):
+            sl = slice(t0 * d, (t0 + gb) * d)
+            qg = _group_view(q_all, t0, gb, d)
+            kg = _group_view(k_all, t0, gb, d)
+            vg = _group_view(v_all, t0, gb, d)
+            scores = jax.lax.dot_general(
+                qg, kg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [gb,SQb,SKb]
+            bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
+                   else jnp.broadcast_to(bias_w, (gb,) + bias_w.shape[1:]))
+            scores = scores + bsl.astype(jnp.float32)
+            kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+            scores = jnp.where(kmask, scores, _NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            if dropout_rate > 0.0:
+                keep = _group_keep(probs.shape, dropout_rate, seed_ref,
+                                   num_heads, hb, t0, gb, ab=ab)
+                probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+            out = jax.lax.dot_general(probs.astype(vg.dtype), vg,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+            o_ref[w, :, sl] = _ungroup(out, gb).astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, do_ref,
                                dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
-                               num_heads, hb, d, gb, dropout_rate=0.0,
-                               seed_ref=None):
+                               num_heads, hb, d, gb, wb=1, bias_wb=False,
+                               dropout_rate=0.0, seed_ref=None):
     qvalid = _packed_row_valid(q_ref, sq)
     kvalid = _packed_row_valid(k_ref, sk)
-    q_all = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
-    k_all = jnp.where(kvalid, k_ref[0], 0).astype(k_ref.dtype)
-    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
-    do_all = jnp.where(qvalid, do_ref[0], 0).astype(do_ref.dtype)
-    for t0 in range(0, hb, gb):
-        sl = slice(t0 * d, (t0 + gb) * d)
-        qg = _group_view(q_all, t0, gb, d)
-        kg = _group_view(k_all, t0, gb, d)
-        vg = _group_view(v_all, t0, gb, d)
-        dog = _group_view(do_all, t0, gb, d)
-        scores = jax.lax.dot_general(
-            qg, kg, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        bsl = bias_ref[0]
-        bsl = (bsl[t0:t0 + gb] if bsl.shape[0] > 1
-               else jnp.broadcast_to(bsl, (gb,) + bsl.shape[1:]))
-        scores = scores + bsl.astype(jnp.float32)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
-        scores = jnp.where(kmask, scores, _NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sq
-        probs = jnp.where(qmask, e / denom, 0.0)   # [gb, SQb, SKb]
-        if dropout_rate > 0.0:
-            keep = _group_keep(probs.shape, dropout_rate, seed_ref,
-                               num_heads, hb, t0, gb)
-            inv = 1.0 / (1.0 - dropout_rate)
-            probs_dropped = jnp.where(keep, probs * inv, 0.0)
-        else:
-            probs_dropped = probs
-        dv = jax.lax.dot_general(probs_dropped.astype(dog.dtype), dog,
-                                 (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(dog, vg, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
-            dp = jnp.where(keep, dp * inv, 0.0)
-        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        ds = jnp.where(qmask, ds, 0.0)
-        ds_lp = ds.astype(kg.dtype)
-        dq = jax.lax.dot_general(ds_lp, kg, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_lp, qg, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
-        dq_ref[0, :, sl] = _ungroup(dq, gb).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = _ungroup(dk, gb).astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = _ungroup(dv, gb).astype(dv_ref.dtype)
+    i = pl.program_id(0)
+    for w in range(wb):
+        q_all = jnp.where(qvalid, q_ref[w], 0).astype(q_ref.dtype)
+        k_all = jnp.where(kvalid, k_ref[w], 0).astype(k_ref.dtype)
+        v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
+        do_all = jnp.where(qvalid, do_ref[w], 0).astype(do_ref.dtype)
+        bias_w = bias_ref[w if bias_wb else 0]
+        ab = i * wb + w
+        for t0 in range(0, hb, gb):
+            sl = slice(t0 * d, (t0 + gb) * d)
+            qg = _group_view(q_all, t0, gb, d)
+            kg = _group_view(k_all, t0, gb, d)
+            vg = _group_view(v_all, t0, gb, d)
+            dog = _group_view(do_all, t0, gb, d)
+            scores = jax.lax.dot_general(
+                qg, kg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
+                   else jnp.broadcast_to(bias_w, (gb,) + bias_w.shape[1:]))
+            scores = scores + bsl.astype(jnp.float32)
+            kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
+            scores = jnp.where(kmask, scores, _NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sq
+            probs = jnp.where(qmask, e / denom, 0.0)   # [gb, SQb, SKb]
+            if dropout_rate > 0.0:
+                keep = _group_keep(probs.shape, dropout_rate, seed_ref,
+                                   num_heads, hb, t0, gb, ab=ab)
+                inv = 1.0 / (1.0 - dropout_rate)
+                probs_dropped = jnp.where(keep, probs * inv, 0.0)
+            else:
+                probs_dropped = probs
+            dv = jax.lax.dot_general(probs_dropped.astype(dog.dtype), dog,
+                                     (((1,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(dog, vg, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            if dropout_rate > 0.0:
+                dp = jnp.where(keep, dp * inv, 0.0)
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            ds = jnp.where(qmask, ds, 0.0)
+            ds_lp = ds.astype(kg.dtype)
+            dq = jax.lax.dot_general(
+                ds_lp, kg, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds_lp, qg, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[w, :, sl] = _ungroup(dq, gb).astype(dq_ref.dtype)
+            dk_ref[w, :, sl] = _ungroup(dk, gb).astype(dk_ref.dtype)
+            dv_ref[w, :, sl] = _ungroup(dv, gb).astype(dv_ref.dtype)
 
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
-                       num_heads, hb, d, gb=1, dropout_rate=0.0,
-                       seed_ref=None):
+                       num_heads, hb, d, gb=1, wb=1, bias_wb=False,
+                       dropout_rate=0.0, seed_ref=None):
     if gb > 1:
         return _packed_fwd_kernel_grouped(
             q_ref, k_ref, v_ref, bias_ref, o_ref, scale=scale, sk=sk,
-            num_heads=num_heads, hb=hb, d=d, gb=gb,
+            num_heads=num_heads, hb=hb, d=d, gb=gb, wb=wb, bias_wb=bias_wb,
             dropout_rate=dropout_rate, seed_ref=seed_ref)
     kvalid = _packed_row_valid(k_ref, sk)
-    q_all = q_ref[0]                               # [SQb, hb*d]
-    k_all = k_ref[0]                               # [SKb, hb*d]
-    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
     i = pl.program_id(0)
     j = pl.program_id(1)
-    for t in range(hb):
-        sl = slice(t * d, (t + 1) * d)
-        q = q_all[:, sl]
-        k = k_all[:, sl]
-        v = v_all[:, sl]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [SQb, SKb]
-        b = bias_ref[0]
-        scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
-            jnp.float32)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
-        scores = jnp.where(kmask, scores, _NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        if dropout_rate > 0.0:
-            pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
-            keep = _dropout_keep_mask(probs.shape, dropout_rate)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-        out = jnp.dot(probs.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+    for w in range(wb):
+        q_all = q_ref[w]                           # [SQb, hb*d]
+        k_all = k_ref[w]                           # [SKb, hb*d]
+        v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
+        b = bias_ref[w if bias_wb else 0]
+        ab = i * wb + w
+        for t in range(hb):
+            sl = slice(t * d, (t + 1) * d)
+            q = q_all[:, sl]
+            k = k_all[:, sl]
+            v = v_all[:, sl]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # [SQb, SKb]
+            scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+                jnp.float32)
+            kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
+            scores = jnp.where(kmask, scores, _NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            if dropout_rate > 0.0:
+                pltpu.prng_seed(seed_ref[0], ab * num_heads + (j * hb + t))
+                keep = _dropout_keep_mask(probs.shape, dropout_rate)
+                probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+            out = jnp.dot(probs.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[w, :, sl] = out.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, *, scale, sq, sk,
-                       num_heads, hb, d, gb=1, dropout_rate=0.0,
-                       seed_ref=None):
+                       num_heads, hb, d, gb=1, wb=1, bias_wb=False,
+                       dropout_rate=0.0, seed_ref=None):
     if gb > 1:
         return _packed_bwd_kernel_grouped(
             q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
             scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d,
-            gb=gb, dropout_rate=dropout_rate, seed_ref=seed_ref)
+            gb=gb, wb=wb, bias_wb=bias_wb, dropout_rate=dropout_rate,
+            seed_ref=seed_ref)
     qvalid = _packed_row_valid(q_ref, sq)
     kvalid = _packed_row_valid(k_ref, sk)
-    q_all = jnp.where(qvalid, q_ref[0], 0).astype(q_ref.dtype)
-    k_all = jnp.where(kvalid, k_ref[0], 0).astype(k_ref.dtype)
-    v_all = jnp.where(kvalid, v_ref[0], 0).astype(v_ref.dtype)
-    do_all = jnp.where(qvalid, do_ref[0], 0).astype(do_ref.dtype)
     i = pl.program_id(0)
     j = pl.program_id(1)
-    for t in range(hb):
-        sl = slice(t * d, (t + 1) * d)
-        q = q_all[:, sl]
-        k = k_all[:, sl]
-        v = v_all[:, sl]
-        do = do_all[:, sl]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        b = bias_ref[0]
-        scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
-            jnp.float32)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
-        scores = jnp.where(kmask, scores, _NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) < sq
-        probs = jnp.where(qmask, e / denom, 0.0)
-        if dropout_rate > 0.0:
-            pltpu.prng_seed(seed_ref[0], i * num_heads + (j * hb + t))
-            keep = _dropout_keep_mask(probs.shape, dropout_rate)
-            inv = 1.0 / (1.0 - dropout_rate)
-            probs_dropped = jnp.where(keep, probs * inv, 0.0)
-        else:
-            probs_dropped = probs
-        dv = jax.lax.dot_general(probs_dropped.astype(do.dtype), do,
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
-            dp = jnp.where(keep, dp * inv, 0.0)
-        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        ds = jnp.where(qmask, ds, 0.0)
-        ds_lp = ds.astype(k.dtype)
-        dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_lp, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    for w in range(wb):
+        q_all = jnp.where(qvalid, q_ref[w], 0).astype(q_ref.dtype)
+        k_all = jnp.where(kvalid, k_ref[w], 0).astype(k_ref.dtype)
+        v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
+        do_all = jnp.where(qvalid, do_ref[w], 0).astype(do_ref.dtype)
+        b = bias_ref[w if bias_wb else 0]
+        ab = i * wb + w
+        for t in range(hb):
+            sl = slice(t * d, (t + 1) * d)
+            q = q_all[:, sl]
+            k = k_all[:, sl]
+            v = v_all[:, sl]
+            do = do_all[:, sl]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+                jnp.float32)
+            kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
+            scores = jnp.where(kmask, scores, _NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            qmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) < sq
+            probs = jnp.where(qmask, e / denom, 0.0)
+            if dropout_rate > 0.0:
+                pltpu.prng_seed(seed_ref[0], ab * num_heads + (j * hb + t))
+                keep = _dropout_keep_mask(probs.shape, dropout_rate)
+                inv = 1.0 / (1.0 - dropout_rate)
+                probs_dropped = jnp.where(keep, probs * inv, 0.0)
+            else:
+                probs_dropped = probs
+            dv = jax.lax.dot_general(probs_dropped.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if dropout_rate > 0.0:
+                dp = jnp.where(keep, dp * inv, 0.0)
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            ds = jnp.where(qmask, ds, 0.0)
+            ds_lp = ds.astype(k.dtype)
+            dq = jnp.dot(ds_lp, k,
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds_lp, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+            dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _packed_specs(sq_b, sk_b, d, hb):
-    qspec = pl.BlockSpec((1, sq_b, hb * d), lambda i, j: (i, 0, j),
+def _packed_specs(sq_b, sk_b, d, hb, wb=1):
+    qspec = pl.BlockSpec((wb, sq_b, hb * d), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, sk_b, hb * d), lambda i, j: (i, 0, j),
+    kspec = pl.BlockSpec((wb, sk_b, hb * d), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
     return qspec, kspec
 
@@ -666,13 +728,16 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
                             budget=_FWD_VMEM_BUDGET)
     assert hb > 0, "packed fwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
-    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
-    _check_specs(((1, sq_b, hb * d), q.shape, "packed q"),
-                 ((1, sk_b, hb * d), k.shape, "packed k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+    wb = _window_batch(b, d, bias.shape[0])
+    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb, wb)
+    _check_specs(((wb, sq_b, hb * d), q.shape, "packed q"),
+                 ((wb, sk_b, hb * d), k.shape, "packed k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
                   bias.shape, "packed bias"))
-    in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
+    in_specs = [qspec, kspec, kspec,
+                _bias_spec(bias.shape, sq_b, sk_b, hb, wb)]
     kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d,
+              wb=wb, bias_wb=bias.shape[0] > 1,
               gb=_group_size(hb, sq_b, sk_b, n_f32=3,
                              dropout=dropout_rate > 0.0))
     extra = []
@@ -689,7 +754,7 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
         interpret = pltpu.InterpretParams()
     return pl.pallas_call(
         kernel,
-        grid=(b, num_heads // hb),
+        grid=(b // wb, num_heads // hb),
         in_specs=in_specs,
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, sq, dm), q.dtype),
@@ -715,14 +780,16 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
                             budget=_BWD_VMEM_BUDGET)
     assert hb > 0, "packed bwd infeasible — caller must gate on feasibility"
     bias = _norm_bias(bias, b, sq, sk)
-    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb)
-    _check_specs(((1, sq_b, hb * d), q.shape, "packed bwd q"),
-                 ((1, sk_b, hb * d), k.shape, "packed bwd k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+    wb = _window_batch(b, d, bias.shape[0])
+    qspec, kspec = _packed_specs(sq_b, sk_b, d, hb, wb)
+    _check_specs(((wb, sq_b, hb * d), q.shape, "packed bwd q"),
+                 ((wb, sk_b, hb * d), k.shape, "packed bwd k"),
+                 (_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
                   bias.shape, "packed bwd bias"))
     in_specs = [qspec, kspec, kspec,
-                _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
+                _bias_spec(bias.shape, sq_b, sk_b, hb, wb), qspec]
     kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d,
+              wb=wb, bias_wb=bias.shape[0] > 1,
               gb=_group_size(hb, sq_b, sk_b, n_f32=5,
                              dropout=dropout_rate > 0.0))
     extra = []
@@ -741,7 +808,7 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
         interpret = pltpu.InterpretParams()
     return pl.pallas_call(
         kernel,
-        grid=(b, num_heads // hb),
+        grid=(b // wb, num_heads // hb),
         in_specs=in_specs,
         out_specs=(qspec, kspec, kspec),
         out_shape=(

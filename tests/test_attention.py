@@ -454,3 +454,64 @@ def test_custom_scale_matches_xla():
     g_pl = jax.grad(loss("pallas"))(q)
     g_x = jax.grad(loss("xla"))(q)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Window-batched grid for the packed kernels (MMVQA_ATTN_WB)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,d,bb,wb", [
+    (8, 32, 1, "4"),    # broadcast bias, wb=4
+    (8, 32, 4, "4"),    # periodic (shifted-window) bias, wb == period
+    (8, 32, 4, "2"),    # periodic bias, wb < period (wb | bb)
+])
+def test_packed_window_batched_matches_wb1(monkeypatch, h, d, bb, wb):
+    """wb>1 folds wb batch rows into one grid program (an outer kernel
+    loop); forward and backward must match the wb=1 grid exactly,
+    including the periodic-bias block streaming (bias block carries wb
+    rows, indexed i % (bb//wb))."""
+    from mm_vqa_healthcare_tpu.ops import flash_attention as fa
+    b, s = 8, 16
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    bias = _rand((bb, h, s, s), 7) * 3.0 if bb > 1 else None
+    w = _rand((b, s, h * d), 9)
+
+    def run():
+        def loss(q, k, v):
+            return jnp.sum(fa.fused_attention_packed(
+                q, k, v, h, bias, interpret=_INTERP) * w)
+        out = fa.fused_attention_packed(q3, k3, v3, h, bias,
+                                        interpret=_INTERP)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q3, k3, v3)
+        return jax.device_get((out, grads))
+
+    monkeypatch.setattr(fa, "_PACKED_WB", "1")
+    out_1, g_1 = run()
+    monkeypatch.setattr(fa, "_PACKED_WB", wb)
+    out_w, g_w = run()
+    np.testing.assert_allclose(out_w, out_1, atol=1e-6, rtol=1e-6)
+    for a, b_, name in zip(g_w, g_1, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, err_msg=f"d{name}")
+
+
+@_CPU_ONLY
+def test_packed_window_batched_dropout_stream_parity(monkeypatch):
+    """Dropout seeds are per ABSOLUTE batch row (ab = i*wb + w), so the
+    kept/dropped pattern is identical between wb grids — checked exactly
+    on the interpreter where the PRNG stub is deterministic."""
+    from mm_vqa_healthcare_tpu.ops import flash_attention as fa
+    b, s, h, d = 4, 16, 4, 32
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    seed = jnp.array(123, jnp.int32)
+
+    def run():
+        return jax.device_get(fa.fused_attention_packed(
+            q3, k3, v3, h, None, interpret=True,
+            dropout_rate=0.3, dropout_seed=seed))
+
+    monkeypatch.setattr(fa, "_PACKED_WB", "1")
+    out_1 = run()
+    monkeypatch.setattr(fa, "_PACKED_WB", "4")
+    out_w = run()
+    np.testing.assert_array_equal(out_w, out_1)

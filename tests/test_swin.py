@@ -258,3 +258,35 @@ def test_drop_path_rate_zero_is_identity():
     tr = model.apply(params, img, deterministic=False,
                      rngs={"dropout": jax.random.key(1)})
     np.testing.assert_array_equal(np.asarray(det), np.asarray(tr))
+
+
+def test_swin_remat_grad_parity():
+    """MMVQA_SWIN_REMAT wraps blocks in jax.checkpoint — gradients (with
+    stochastic depth ACTIVE, so the dropout rng must thread through
+    nn.remat identically) must be bitwise-equal to the unrematerialized
+    tower for both policies."""
+    import dataclasses
+    import jax
+    from mm_vqa_healthcare_tpu.models.swin import (
+        SwinConfig, SwinTransformer)
+
+    base = SwinConfig(image_size=32, embed_dim=16, depths=(1, 1),
+                      num_heads=(2, 2), window_size=4,
+                      attention_impl="xla", drop_path_rate=0.5)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                      jnp.float32)
+    m0 = SwinTransformer(base)
+    params = m0.init(jax.random.key(0), img)["params"]
+
+    def loss(p, model):
+        out = model.apply({"params": p}, img, deterministic=False,
+                          rngs={"dropout": jax.random.key(3)})
+        return jnp.sum(out ** 2)
+
+    g0 = jax.grad(loss)(params, m0)
+    for mode in ("dots", "block"):
+        m1 = SwinTransformer(dataclasses.replace(base, remat=mode))
+        g1 = jax.grad(loss)(params, m1)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), g0, g1)
