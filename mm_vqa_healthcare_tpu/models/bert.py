@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from mm_vqa_healthcare_tpu.models.layers import Dense, LayerNorm, gelu_exact
 from mm_vqa_healthcare_tpu.ops.attention import (
-    dot_product_attention_packed)
+    attention_probs, dot_product_attention_packed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,7 +148,8 @@ class BertSelfAttention(nn.Module):
     def __call__(self, hidden_states: jax.Array,
                  attention_bias: Optional[jax.Array] = None,
                  encoder_hidden_states: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 output_attentions: bool = False):
         d = hidden_states.shape[-1]
         kv_source = (encoder_hidden_states if encoder_hidden_states is not None
                      else hidden_states)
@@ -161,9 +162,18 @@ class BertSelfAttention(nn.Module):
         # on the pallas path (TPU PRNG), jax.random on the XLA path.
         # Packed layout: heads are carved out of the lane dim in-kernel, so
         # no [B,S,H,D]<->[B,H,S,D] relayouts hit HBM.
-        return dot_product_attention_packed(
+        ctx = dot_product_attention_packed(
             q, k, v, self.num_heads, attention_bias,
             impl=self.attention_impl, dropout_rate=rate, dropout_rng=rng)
+        if not output_attentions:
+            return ctx
+        # Introspection path (reference output_attentions=True,
+        # bert_model.py:300-332): the fused kernel streams the softmax, so
+        # the [B,H,Sq,Sk] probs are recomputed explicitly (pre-dropout,
+        # like the probs HF returns).  Static flag — the hot path traces
+        # no extra ops when False.
+        probs = attention_probs(q, k, self.num_heads, attention_bias)
+        return ctx, probs
 
 
 class BertSelfOutput(nn.Module):
@@ -187,12 +197,18 @@ class BertAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, attention_bias=None,
-                 encoder_hidden_states=None, deterministic=True):
+                 encoder_hidden_states=None, deterministic=True,
+                 output_attentions=False):
         ctx = BertSelfAttention(self.num_heads, self.attention_dropout,
                                 self.attention_impl, name="self")(
-            hidden_states, attention_bias, encoder_hidden_states, deterministic)
-        return BertSelfOutput(self.hidden_dropout, self.layer_norm_eps,
-                              name="output")(ctx, hidden_states, deterministic)
+            hidden_states, attention_bias, encoder_hidden_states,
+            deterministic, output_attentions)
+        probs = None
+        if output_attentions:
+            ctx, probs = ctx
+        out = BertSelfOutput(self.hidden_dropout, self.layer_norm_eps,
+                             name="output")(ctx, hidden_states, deterministic)
+        return (out, probs) if output_attentions else out
 
 
 class BertIntermediate(nn.Module):
@@ -252,19 +268,34 @@ class BertCrossLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states,
                  attention_bias=None, encoder_attention_bias=None,
-                 deterministic=True):
+                 deterministic=True, output_attentions=False):
         d = hidden_states.shape[-1]
         x = BertAttention(self.num_heads, self.hidden_dropout,
                           self.attention_dropout, self.layer_norm_eps,
                           self.attention_impl, name="attention")(
-            hidden_states, attention_bias, None, deterministic)
+            hidden_states, attention_bias, None, deterministic,
+            output_attentions)
+        self_probs = None
+        if output_attentions:
+            x, self_probs = x
         x = BertAttention(self.num_heads, self.hidden_dropout,
                           self.attention_dropout, self.layer_norm_eps,
                           self.attention_impl, name="crossattention")(
-            x, encoder_attention_bias, encoder_hidden_states, deterministic)
+            x, encoder_attention_bias, encoder_hidden_states, deterministic,
+            output_attentions)
+        cross_probs = None
+        if output_attentions:
+            x, cross_probs = x
         inter = BertIntermediate(self.intermediate_size, name="intermediate")(x)
-        return BertOutput(d, self.hidden_dropout, self.layer_norm_eps,
-                          name="output")(inter, x, deterministic)
+        out = BertOutput(d, self.hidden_dropout, self.layer_norm_eps,
+                         name="output")(inter, x, deterministic)
+        if not output_attentions:
+            return out
+        # Tuple ordering mirrors the reference layer's
+        # `(layer_output,) + (self_probs, cross_probs)`
+        # (bert_model.py:457-498) minus the hidden state, which callers
+        # take separately.
+        return out, (self_probs, cross_probs)
 
 
 class TextEncoder(nn.Module):

@@ -155,7 +155,7 @@ class M3AE(nn.Module):
         )
         # remat="full": rematerialize fusion blocks in the backward pass
         # (jax.checkpoint) to trade FLOPs for activation memory
-        cross_cls = (nn.remat(BertCrossLayer, static_argnums=(5,))
+        cross_cls = (nn.remat(BertCrossLayer, static_argnums=(5, 6))
                      if cfg.remat == "full" else BertCrossLayer)
         self.multi_modal_language_layers = [
             cross_cls(**fusion_kwargs, name=f"multi_modal_language_layers_{i}")
@@ -216,7 +216,8 @@ class M3AE(nn.Module):
               mask_image: bool = False,
               image_token_type_idx: int = 1,
               img: Optional[jax.Array] = None,
-              deterministic: bool = True) -> Dict[str, jax.Array]:
+              deterministic: bool = True,
+              output_attentions: bool = False) -> Dict[str, jax.Array]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
 
@@ -268,15 +269,33 @@ class M3AE(nn.Module):
             jnp.full(image_masks.shape, image_token_type_idx, jnp.int32)).astype(dtype)
 
         # Multi-modal co-attention fusion
+        # output_attentions mirrors the reference ret["attentions"] contract
+        # (m3ae_module.py:210,267-283): per-layer lists of
+        # (self_probs, cross_probs) tuples.  "image2text" = the vision
+        # stream's cross-attention (image queries -> text keys,
+        # [B, H, S_img, S_txt]); "text2image" the converse.  Unlike the
+        # reference (which materializes probs unconditionally,
+        # m3ae_module.py:276-277), the flag is static: when False the fused
+        # kernels stream the softmax and no probs tensor is ever built.
+        if output_attentions:
+            ret["attentions"] = {"text2image_attns": [],
+                                 "image2text_attns": []}
         x, y = uni_text, uni_image
         for layer_idx in range(cfg.num_top_layer):
             if mask_image and cfg.mim_layer == layer_idx:
                 ret[f"multi_modal_text_feats_{layer_idx}"] = x
                 ret[f"multi_modal_image_feats_{layer_idx}"] = y
             x1 = self.multi_modal_language_layers[layer_idx](
-                x, y, ext_text_bias, ext_image_bias, deterministic)
+                x, y, ext_text_bias, ext_image_bias, deterministic,
+                output_attentions)
             y1 = self.multi_modal_vision_layers[layer_idx](
-                y, x, ext_image_bias, ext_text_bias, deterministic)
+                y, x, ext_image_bias, ext_text_bias, deterministic,
+                output_attentions)
+            if output_attentions:
+                x1, t2i = x1
+                y1, i2t = y1
+                ret["attentions"]["text2image_attns"].append(t2i)
+                ret["attentions"]["image2text_attns"].append(i2t)
             x, y = x1, y1
 
         text_cls = self.multi_modal_language_pooler(x)

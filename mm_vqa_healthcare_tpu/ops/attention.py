@@ -211,6 +211,30 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     return act.constrain(merge_heads(ctx), bsd)
 
 
+def attention_probs(q: jax.Array, k: jax.Array, num_heads: int,
+                    bias: Optional[jax.Array] = None,
+                    scale: Optional[float] = None) -> jax.Array:
+    """Explicit float32 attention probabilities on PACKED [B, S, H*D] q/k.
+
+    Returns [B, H, Sq, Sk] softmax(q·kᵀ/√D + bias) — the tensor the
+    reference materializes eagerly in every layer (bert_model.py:300-316,
+    `attention_probs = nn.Softmax(dim=-1)(attention_scores)`).  The fused
+    pallas kernels stream the softmax and never materialize this, so it is
+    recomputed here via plain XLA.  Introspection/visualization path ONLY
+    (`output_attentions=True`, m3ae_module.py:210,267-283) — never on the
+    training/serving hot path.
+    """
+    qh, kh = split_heads(q, num_heads), split_heads(k, num_heads)
+    depth = qh.shape[-1]
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    return jax.nn.softmax(scores, axis=-1)
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """[B, S, D] -> [B, H, S, D/H] (reference transpose_for_scores)."""
     b, s, d = x.shape
