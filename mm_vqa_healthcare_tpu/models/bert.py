@@ -169,9 +169,13 @@ class BertSelfAttention(nn.Module):
             return ctx
         # Introspection path (reference output_attentions=True,
         # bert_model.py:300-332): the fused kernel streams the softmax, so
-        # the [B,H,Sq,Sk] probs are recomputed explicitly (pre-dropout,
-        # like the probs HF returns).  Static flag — the hot path traces
-        # no extra ops when False.
+        # the [B,H,Sq,Sk] probs are recomputed explicitly.  NOTE the
+        # reference applies self.dropout to attention_probs BEFORE building
+        # outputs (bert_model.py:316-332), so it returns POST-dropout probs;
+        # this port deliberately returns pre-dropout probs — identical in
+        # the deterministic/eval case (the intended visualization use),
+        # different when deterministic=False (DEVIATIONS.md #9).  Static
+        # flag — the hot path traces no extra ops when False.
         probs = attention_probs(q, k, self.num_heads, attention_bias)
         return ctx, probs
 

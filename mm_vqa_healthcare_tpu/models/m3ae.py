@@ -280,6 +280,12 @@ class M3AE(nn.Module):
         if output_attentions:
             ret["attentions"] = {"text2image_attns": [],
                                  "image2text_attns": []}
+        else:
+            # reference sets ret["attentions"] = None when the flag is off
+            # (m3ae_module.py:210) — keep the key present so ported callers
+            # that read it unconditionally see None, not KeyError.  None is
+            # an empty pytree, so nothing extra flows through jit.
+            ret["attentions"] = None
         x, y = uni_text, uni_image
         for layer_idx in range(cfg.num_top_layer):
             if mask_image and cfg.mim_layer == layer_idx:

@@ -59,13 +59,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Device-put array leaves of a host batch with data-axis sharding.
     Non-array entries (strings, metadata) are dropped — they never belong
-    on device."""
+    on device.
+
+    Multi-process (pod / multi-host DP, reference num_nodes>1 DDP,
+    main.py:60-63): each host's loader yields only its PROCESS-LOCAL shard
+    (process-strided, data/datamodule.py), so the global array is
+    assembled from the local data — a plain device_put would misread the
+    local batch as the full global array."""
     sharding = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.dtype != object:
-            out[k] = jax.device_put(v, sharding)
+            if multiproc:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
     return out
+
+
+def put_committed(tree, shardings):
+    """device_put a host-replicated tree onto committed (possibly
+    multi-host) shardings.
+
+    Single-process: plain device_put.  Multi-process (pod DP): device_put
+    cannot build an array spanning non-addressable devices from local
+    data, so each process contributes its addressable shards via
+    make_array_from_callback — every process is assumed to hold the SAME
+    full value (true for params/opt-state initialized from a shared
+    seed, the reference's DDP model-replication invariant)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def opt_state_shardings(opt_state, params, mesh: Mesh):

@@ -118,5 +118,6 @@ def shard_params(mesh: Mesh, params, fsdp: bool = False,
                  fsdp_min_elems: int = _FSDP_MIN_ELEMS):
     """device_put the tree with its TP(+FSDP) shardings (committed arrays —
     jit then propagates shardings without explicit in_shardings)."""
-    return jax.device_put(params, params_shardings(
+    from mm_vqa_healthcare_tpu.parallel.mesh import put_committed
+    return put_committed(params, params_shardings(
         mesh, params, fsdp=fsdp, fsdp_min_elems=fsdp_min_elems))

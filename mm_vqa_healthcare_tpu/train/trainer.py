@@ -188,7 +188,10 @@ class Trainer:
         }
         init_rngs = {"params": jax.random.key(self.seed),
                      "mim": jax.random.key(self.seed + 1)}
-        with jax.default_device(jax.devices()[0]):
+        # local_devices: under multi-process DP, jax.devices()[0] may be
+        # another host's device; init runs per-host from the shared seed
+        # (the reference's DDP model-replication invariant)
+        with jax.default_device(jax.local_devices()[0]):
             params = jax.jit(self.model.init)(init_rngs, batch)
         if cfg.get("load_path"):
             params, loaded, missing = load_reference_checkpoint(

@@ -43,7 +43,9 @@ def test_output_attentions_contract(tiny_m3ae):
     base = model.apply(params, jb, method=M3AE.infer)
     out = model.apply(params, jb, output_attentions=True, method=M3AE.infer)
 
-    assert "attentions" not in base
+    # reference contract: the key is always present, None when the flag is
+    # off (m3ae_module.py:210)
+    assert base["attentions"] is None
     attns = out["attentions"]
     assert set(attns) == {"text2image_attns", "image2text_attns"}
     n_layers = model.cfg.num_top_layer
