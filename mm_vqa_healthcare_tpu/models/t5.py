@@ -174,21 +174,22 @@ class T5Attention(nn.Module):
                 v = jax.lax.dynamic_update_slice(cache["v"], v,
                                                  (0, 0, cache_index, 0))
                 cache = {"k": k, "v": v}
-        if cache is None and kv is None:
-            # Full-sequence SELF-attention (encoder over the 512-token soft
-            # prompt, teacher-forced decoder): the fused kernel with
-            # scale=1.0 (T5's no-sqrt(d) convention) streams the softmax
-            # instead of materializing [B,H,S,S] fp32 scores — the 512²
-            # encoder scores were 29% of the t5_train step (PERF.md
-            # batch36 profile).  Biases combine into one additive operand;
-            # the production mm-head mask is all-ones (reference
-            # m3ae_t5_mm_encoder_input.py:100-190), so the combined bias
-            # stays the [1,H,S,S] shared relative-position table.
-            # Teacher-forced CROSS-attention (q_len 12 vs 512 keys) stays
-            # on the einsum path: that shape SIGABRTs the TPU backend
-            # compiler (jellyfish 'limits[i] <= dim(i) (4 vs. 1)', batch37
-            # probe run_scripts/probe_t5_attn_shapes.py), and its score
-            # tensor is 40× smaller than the encoder's anyway.
+        if cache is None:
+            # Full-sequence attention (encoder self over the 512-token soft
+            # prompt, teacher-forced decoder self, AND teacher-forced
+            # cross q 12 x k 512): the fused kernel with scale=1.0 (T5's
+            # no-sqrt(d) convention) streams the softmax instead of
+            # materializing [B,H,Sq,Sk] fp32 scores — the 512² encoder
+            # scores were 29% of the t5_train step (PERF.md batch36
+            # profile).  Biases combine into one additive operand; the
+            # production mm-head mask is all-ones (reference
+            # m3ae_t5_mm_encoder_input.py:100-190) and rides as None, so
+            # the encoder streams only the shared [1,H,S,S] rel-pos table
+            # and the cross-attention streams no bias at all.  The round-3
+            # short-query SIGABRT (jellyfish 'limits[i] <= dim(i)', batch37
+            # probe) was the zero-bias block spec, not the shape — fixed by
+            # bias-free kernels + the _norm_bias q-axis guard (round-4
+            # probe run_scripts/probe_shortq.py: all shapes compile).
             from mm_vqa_healthcare_tpu.ops.attention import (
                 dot_product_attention)
             if position_bias is not None and mask_bias is not None:
@@ -204,9 +205,9 @@ class T5Attention(nn.Module):
                 q, k, v, bias, impl=cfg.attention_impl, scale=1.0,
                 dropout_rate=rate, dropout_rng=rng)
             return self.o(merge_heads(ctx))
-        # einsum path: incremental decode (q_len == 1 — a kernel launch
-        # per token would lose to dispatch) and teacher-forced cross-attn
-        # (see compiler-bug note above).  T5: NO sqrt(d) scaling.
+        # einsum path: incremental decode only (q_len == 1 — a kernel
+        # launch per token would lose to dispatch).  T5: NO sqrt(d)
+        # scaling.
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if position_bias is not None:

@@ -117,7 +117,14 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale   # [hb, SQb, SKb] fp32
-    scores = scores + bias_ref[0].astype(jnp.float32)
+    # bias_ref is None for bias-free attention (e.g. image self-attention,
+    # T5 cross-attention): no zero tensor is streamed, and no broadcast-add
+    # is emitted — a bias block with a size-1 q axis reliably SIGABRTs the
+    # TPU backend compiler ('Check failed: limits[i] <= dim(i)', round-4
+    # probe run_scripts/probe_shortq.py: split+broadcast crashes at EVERY
+    # Sq 12..577 while full [1,H,Sq,Sk] biases compile fine)
+    if bias_ref is not None:
+        scores = scores + bias_ref[0].astype(jnp.float32)
     # key-tail validity (blocks overrun the real Sk; OOB reads are garbage)
     kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
     scores = jnp.where(kmask, scores, _NEG_INF)
@@ -151,7 +158,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    scores = scores + bias_ref[0].astype(jnp.float32)
+    if bias_ref is not None:   # None = bias-free (see _attn_fwd_kernel)
+        scores = scores + bias_ref[0].astype(jnp.float32)
     kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
     scores = jnp.where(kmask, scores, _NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -189,9 +197,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
 
 
 def _norm_bias(bias, b, sq, sk):
-    """Normalize to a 4-D additive bias with a full-length key axis."""
-    if bias is None:
-        bias = jnp.zeros((1, 1, 1, sk), jnp.float32)
+    """Normalize to a 4-D additive bias with a full-length key axis.
+
+    Callers gate on ``bias is not None`` — bias-free attention never
+    reaches here (no zero tensor is streamed, see _attn_fwd_kernel).
+
+    Shape guard (round-4 probe matrix, run_scripts/probe_shortq.py +
+    probe_t5_attn_shapes.py): a bias whose BATCH and Q axes are both
+    broadcast (size 1) produces a block spec the TPU backend compiler
+    aborts on ('Check failed: limits[i] <= dim(i)') — [1,1,1,Sk] and
+    [1,H,1,Sk] crash at every probed Sq 12..577 while [1,H,Sq,Sk] and
+    the production [B,1,1,Sk] key masks compile fine.  Materializing the
+    q axis (tiny: the batch axis is 1) keeps every reachable bias shape
+    outside the crash class, so no caller can hit the SIGABRT."""
     bias = bias.astype(jnp.float32)
     if b % bias.shape[0]:
         raise ValueError(
@@ -199,6 +217,8 @@ def _norm_bias(bias, b, sq, sk):
             f"batch {b} (broadcast, periodic, or full)")
     if bias.shape[3] != sk:
         bias = jnp.broadcast_to(bias, bias.shape[:3] + (sk,))
+    if bias.shape[0] == 1 and bias.shape[2] == 1:
+        bias = jnp.broadcast_to(bias, bias.shape[:2] + (sq, sk))
     return bias
 
 
@@ -260,24 +280,37 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None,
     scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=3, op_mult=2,
                      dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET)
-    bias = _norm_bias(bias, b, sq, sk)
+    has_bias = bias is not None
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     _check_specs(((1, hb, sq_b, d), q.shape, "split q"),
-                 ((1, hb, sk_b, d), k.shape, "split k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
-                  bias.shape, "split bias"))
-    in_specs = [qspec, kspec, kspec, _bias_spec(bias.shape, sq_b, sk_b, hb)]
+                 ((1, hb, sk_b, d), k.shape, "split k"))
+    in_specs = [qspec, kspec, kspec]
+    operands = [q, k, v]
+    if has_bias:
+        bias = _norm_bias(bias, b, sq, sk)
+        _check_specs((_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                      bias.shape, "split bias"))
+        in_specs.append(_bias_spec(bias.shape, sq_b, sk_b, hb))
+        operands.append(bias)
     kw = dict(scale=scale, sk=sk, num_heads=h, hb=hb)
-    extra = []
     if dropout_rate > 0.0:
-        def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
-            _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-                             dropout_rate=dropout_rate, seed_ref=seed_ref,
-                             **kw)
+        if has_bias:
+            def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
+                _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                                 dropout_rate=dropout_rate,
+                                 seed_ref=seed_ref, **kw)
+        else:
+            def kernel(q_ref, k_ref, v_ref, seed_ref, o_ref):
+                _attn_fwd_kernel(q_ref, k_ref, v_ref, None, o_ref,
+                                 dropout_rate=dropout_rate,
+                                 seed_ref=seed_ref, **kw)
         in_specs.append(_seed_spec())
-        extra = [seed.reshape(1).astype(jnp.int32)]
-    else:
+        operands.append(seed.reshape(1).astype(jnp.int32))
+    elif has_bias:
         kernel = functools.partial(_attn_fwd_kernel, **kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _attn_fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
     if interpret and dropout_rate > 0.0:
         # plain interpret mode lacks pltpu PRNG primitives; use the TPU
         # interpreter which emulates them
@@ -295,7 +328,7 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None,
             transcendentals=b * h * sq_b * sk_b,
         ),
         interpret=interpret,
-    )(q, k, v, bias, *extra)
+    )(*operands)
     return out
 
 
@@ -305,27 +338,44 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None,
     scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=5, op_mult=4,
                      dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET)
-    bias = _norm_bias(bias, b, sq, sk)
+    has_bias = bias is not None
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     _check_specs(((1, hb, sq_b, d), q.shape, "split bwd q"),
-                 ((1, hb, sk_b, d), k.shape, "split bwd k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
-                  bias.shape, "split bwd bias"))
-    in_specs = [qspec, kspec, kspec,
-                _bias_spec(bias.shape, sq_b, sk_b, hb), qspec]
+                 ((1, hb, sk_b, d), k.shape, "split bwd k"))
+    in_specs = [qspec, kspec, kspec]
+    operands = [q, k, v]
+    if has_bias:
+        bias = _norm_bias(bias, b, sq, sk)
+        _check_specs((_bias_spec(bias.shape, sq_b, sk_b, hb).block_shape,
+                      bias.shape, "split bwd bias"))
+        in_specs.append(_bias_spec(bias.shape, sq_b, sk_b, hb))
+        operands.append(bias)
+    in_specs.append(qspec)
+    operands.append(do)
     kw = dict(scale=scale, sq=sq, sk=sk, num_heads=h, hb=hb)
-    extra = []
     if dropout_rate > 0.0:
-        def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
-                   dq_ref, dk_ref, dv_ref):
-            _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                             dq_ref, dk_ref, dv_ref,
-                             dropout_rate=dropout_rate, seed_ref=seed_ref,
-                             **kw)
+        if has_bias:
+            def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
+                       dq_ref, dk_ref, dv_ref):
+                _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                                 dq_ref, dk_ref, dv_ref,
+                                 dropout_rate=dropout_rate,
+                                 seed_ref=seed_ref, **kw)
+        else:
+            def kernel(q_ref, k_ref, v_ref, do_ref, seed_ref,
+                       dq_ref, dk_ref, dv_ref):
+                _attn_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref,
+                                 dq_ref, dk_ref, dv_ref,
+                                 dropout_rate=dropout_rate,
+                                 seed_ref=seed_ref, **kw)
         in_specs.append(_seed_spec())
-        extra = [seed.reshape(1).astype(jnp.int32)]
-    else:
+        operands.append(seed.reshape(1).astype(jnp.int32))
+    elif has_bias:
         kernel = functools.partial(_attn_bwd_kernel, **kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+            _attn_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref,
+                             dq_ref, dk_ref, dv_ref, **kw)
     if interpret and dropout_rate > 0.0:
         interpret = pltpu.InterpretParams()
     dq, dk, dv = pl.pallas_call(
@@ -345,7 +395,7 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None,
             transcendentals=b * h * sq_b * sk_b,
         ),
         interpret=interpret,
-    )(q, k, v, bias, do, *extra)
+    )(*operands)
     return dq, dk, dv
 
 
@@ -475,7 +525,10 @@ def _packed_fwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         q_all = q_ref[w]                           # [SQb, hb*d]
         k_all = k_ref[w]                           # [SKb, hb*d]
         v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
-        bias_w = bias_ref[w if bias_wb else 0]
+        # bias_ref None = bias-free attention: nothing streamed, no add
+        # (also avoids the short-Sq broadcast-bias compiler SIGABRT —
+        # probe_shortq.py)
+        bias_w = None if bias_ref is None else bias_ref[w if bias_wb else 0]
         ab = i * wb + w
         for t0 in range(0, hb, gb):
             sl = slice(t0 * d, (t0 + gb) * d)
@@ -485,9 +538,11 @@ def _packed_fwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
             scores = jax.lax.dot_general(
                 qg, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale  # [gb,SQb,SKb]
-            bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
-                   else jnp.broadcast_to(bias_w, (gb,) + bias_w.shape[1:]))
-            scores = scores + bsl.astype(jnp.float32)
+            if bias_w is not None:
+                bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
+                       else jnp.broadcast_to(bias_w,
+                                             (gb,) + bias_w.shape[1:]))
+                scores = scores + bsl.astype(jnp.float32)
             kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
             scores = jnp.where(kmask, scores, _NEG_INF)
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -515,7 +570,7 @@ def _packed_bwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, do_ref,
         k_all = jnp.where(kvalid, k_ref[w], 0).astype(k_ref.dtype)
         v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
         do_all = jnp.where(qvalid, do_ref[w], 0).astype(do_ref.dtype)
-        bias_w = bias_ref[w if bias_wb else 0]
+        bias_w = None if bias_ref is None else bias_ref[w if bias_wb else 0]
         ab = i * wb + w
         for t0 in range(0, hb, gb):
             sl = slice(t0 * d, (t0 + gb) * d)
@@ -526,9 +581,11 @@ def _packed_bwd_kernel_grouped(q_ref, k_ref, v_ref, bias_ref, do_ref,
             scores = jax.lax.dot_general(
                 qg, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
-            bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
-                   else jnp.broadcast_to(bias_w, (gb,) + bias_w.shape[1:]))
-            scores = scores + bsl.astype(jnp.float32)
+            if bias_w is not None:
+                bsl = (bias_w[t0:t0 + gb] if bias_w.shape[0] > 1
+                       else jnp.broadcast_to(bias_w,
+                                             (gb,) + bias_w.shape[1:]))
+                scores = scores + bsl.astype(jnp.float32)
             kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) < sk
             scores = jnp.where(kmask, scores, _NEG_INF)
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -579,7 +636,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
         q_all = q_ref[w]                           # [SQb, hb*d]
         k_all = k_ref[w]                           # [SKb, hb*d]
         v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
-        b = bias_ref[w if bias_wb else 0]
+        b = None if bias_ref is None else bias_ref[w if bias_wb else 0]
         ab = i * wb + w
         for t in range(hb):
             sl = slice(t * d, (t + 1) * d)
@@ -589,8 +646,9 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, sk,
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale   # [SQb, SKb]
-            scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
-                jnp.float32)
+            if b is not None:  # None = bias-free (see _attn_fwd_kernel)
+                scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+                    jnp.float32)
             kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
             scores = jnp.where(kmask, scores, _NEG_INF)
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -624,7 +682,7 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
         k_all = jnp.where(kvalid, k_ref[w], 0).astype(k_ref.dtype)
         v_all = jnp.where(kvalid, v_ref[w], 0).astype(v_ref.dtype)
         do_all = jnp.where(qvalid, do_ref[w], 0).astype(do_ref.dtype)
-        b = bias_ref[w if bias_wb else 0]
+        b = None if bias_ref is None else bias_ref[w if bias_wb else 0]
         ab = i * wb + w
         for t in range(hb):
             sl = slice(t * d, (t + 1) * d)
@@ -635,8 +693,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
-                jnp.float32)
+            if b is not None:  # None = bias-free (see _attn_fwd_kernel)
+                scores = scores + (b[t] if b.shape[0] > 1 else b[0]).astype(
+                    jnp.float32)
             kmask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < sk
             scores = jnp.where(kmask, scores, _NEG_INF)
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -727,29 +786,42 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
                             dropout=dropout_rate > 0.0,
                             budget=_FWD_VMEM_BUDGET)
     assert hb > 0, "packed fwd infeasible — caller must gate on feasibility"
-    bias = _norm_bias(bias, b, sq, sk)
-    wb = _window_batch(b, d, bias.shape[0])
+    has_bias = bias is not None
+    if has_bias:
+        bias = _norm_bias(bias, b, sq, sk)
+    wb = _window_batch(b, d, bias.shape[0] if has_bias else 1)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb, wb)
     _check_specs(((wb, sq_b, hb * d), q.shape, "packed q"),
-                 ((wb, sk_b, hb * d), k.shape, "packed k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
-                  bias.shape, "packed bias"))
-    in_specs = [qspec, kspec, kspec,
-                _bias_spec(bias.shape, sq_b, sk_b, hb, wb)]
+                 ((wb, sk_b, hb * d), k.shape, "packed k"))
+    in_specs = [qspec, kspec, kspec]
+    operands = [q, k, v]
+    if has_bias:
+        _check_specs((_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
+                      bias.shape, "packed bias"))
+        in_specs.append(_bias_spec(bias.shape, sq_b, sk_b, hb, wb))
+        operands.append(bias)
     kw = dict(scale=scale, sk=sk, num_heads=num_heads, hb=hb, d=d,
-              wb=wb, bias_wb=bias.shape[0] > 1,
+              wb=wb, bias_wb=has_bias and bias.shape[0] > 1,
               gb=_group_size(hb, sq_b, sk_b, n_f32=3,
                              dropout=dropout_rate > 0.0))
-    extra = []
     if dropout_rate > 0.0:
-        def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
-            _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-                               dropout_rate=dropout_rate, seed_ref=seed_ref,
-                               **kw)
+        if has_bias:
+            def kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
+                _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                                   dropout_rate=dropout_rate,
+                                   seed_ref=seed_ref, **kw)
+        else:
+            def kernel(q_ref, k_ref, v_ref, seed_ref, o_ref):
+                _packed_fwd_kernel(q_ref, k_ref, v_ref, None, o_ref,
+                                   dropout_rate=dropout_rate,
+                                   seed_ref=seed_ref, **kw)
         in_specs.append(_seed_spec())
-        extra = [seed.reshape(1).astype(jnp.int32)]
-    else:
+        operands.append(seed.reshape(1).astype(jnp.int32))
+    elif has_bias:
         kernel = functools.partial(_packed_fwd_kernel, **kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _packed_fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
     if interpret and dropout_rate > 0.0:
         interpret = pltpu.InterpretParams()
     return pl.pallas_call(
@@ -764,7 +836,7 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
             transcendentals=b * num_heads * sq_b * sk_b,
         ),
         interpret=interpret,
-    )(q, k, v, bias, *extra)
+    )(*operands)
 
 
 def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
@@ -779,31 +851,50 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
                             dropout=dropout_rate > 0.0,
                             budget=_BWD_VMEM_BUDGET)
     assert hb > 0, "packed bwd infeasible — caller must gate on feasibility"
-    bias = _norm_bias(bias, b, sq, sk)
-    wb = _window_batch(b, d, bias.shape[0])
+    has_bias = bias is not None
+    if has_bias:
+        bias = _norm_bias(bias, b, sq, sk)
+    wb = _window_batch(b, d, bias.shape[0] if has_bias else 1)
     qspec, kspec = _packed_specs(sq_b, sk_b, d, hb, wb)
     _check_specs(((wb, sq_b, hb * d), q.shape, "packed bwd q"),
-                 ((wb, sk_b, hb * d), k.shape, "packed bwd k"),
-                 (_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
-                  bias.shape, "packed bwd bias"))
-    in_specs = [qspec, kspec, kspec,
-                _bias_spec(bias.shape, sq_b, sk_b, hb, wb), qspec]
+                 ((wb, sk_b, hb * d), k.shape, "packed bwd k"))
+    in_specs = [qspec, kspec, kspec]
+    operands = [q, k, v]
+    if has_bias:
+        _check_specs((_bias_spec(bias.shape, sq_b, sk_b, hb, wb).block_shape,
+                      bias.shape, "packed bwd bias"))
+        in_specs.append(_bias_spec(bias.shape, sq_b, sk_b, hb, wb))
+        operands.append(bias)
+    in_specs.append(qspec)
+    operands.append(do)
     kw = dict(scale=scale, sq=sq, sk=sk, num_heads=num_heads, hb=hb, d=d,
-              wb=wb, bias_wb=bias.shape[0] > 1,
+              wb=wb, bias_wb=has_bias and bias.shape[0] > 1,
               gb=_group_size(hb, sq_b, sk_b, n_f32=5,
                              dropout=dropout_rate > 0.0))
-    extra = []
     if dropout_rate > 0.0:
-        def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
-                   dq_ref, dk_ref, dv_ref):
-            _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                               dq_ref, dk_ref, dv_ref,
-                               dropout_rate=dropout_rate, seed_ref=seed_ref,
-                               **kw)
+        if has_bias:
+            def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, seed_ref,
+                       dq_ref, dk_ref, dv_ref):
+                _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                                   dq_ref, dk_ref, dv_ref,
+                                   dropout_rate=dropout_rate,
+                                   seed_ref=seed_ref, **kw)
+        else:
+            def kernel(q_ref, k_ref, v_ref, do_ref, seed_ref,
+                       dq_ref, dk_ref, dv_ref):
+                _packed_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref,
+                                   dq_ref, dk_ref, dv_ref,
+                                   dropout_rate=dropout_rate,
+                                   seed_ref=seed_ref, **kw)
         in_specs.append(_seed_spec())
-        extra = [seed.reshape(1).astype(jnp.int32)]
-    else:
+        operands.append(seed.reshape(1).astype(jnp.int32))
+    elif has_bias:
         kernel = functools.partial(_packed_bwd_kernel, **kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref):
+            _packed_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref,
+                               dq_ref, dk_ref, dv_ref, **kw)
     if interpret and dropout_rate > 0.0:
         interpret = pltpu.InterpretParams()
     return pl.pallas_call(
@@ -822,7 +913,7 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
             transcendentals=b * num_heads * sq_b * sk_b,
         ),
         interpret=interpret,
-    )(q, k, v, bias, do, *extra)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 8))

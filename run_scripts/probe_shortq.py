@@ -73,11 +73,12 @@ def run_one(sq_pad: int, dropout: int, sk: int, bias_kind: str,
 
 CASES = [
     # (sq_pad, dropout, sk, bias_kind, layout)
-    (12, 0, 512, "full", "split"),    # does a real-q-axis bias fix it?
-    (12, 0, 512, "bq1", "split"),     # broadcast-q bias = same as none?
-    (12, 0, 512, "none", "packed"),   # packed kernel, same shape
-    (577, 0, 577, "none", "split"),   # long-q split + none: ever broken?
-    (12, 1, 512, "full", "split"),    # dropout variant of the fix shape
+    (12, 0, 512, "none", "split"),    # the T5 cross shape, no-bias kernel
+    (12, 1, 512, "none", "split"),
+    (12, 0, 512, "none", "packed"),
+    (577, 0, 577, "none", "split"),
+    (577, 0, 577, "none", "packed"),  # the clip16 image self-attn family
+    (577, 1, 577, "none", "packed"),
 ]
 
 

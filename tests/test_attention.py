@@ -515,3 +515,82 @@ def test_packed_window_batched_dropout_stream_parity(monkeypatch):
     monkeypatch.setattr(fa, "_PACKED_WB", "4")
     out_w = run()
     np.testing.assert_array_equal(out_w, out_1)
+
+
+# ---------------------------------------------------------------------------
+# Bias-free kernels + the _norm_bias broadcast-q guard (round 4).
+#
+# The round-3 T5 cross-attention SIGABRT (q 12 x k 512, jellyfish
+# 'Check failed: limits[i] <= dim(i)') was the ZERO-BIAS block spec — a
+# bias with broadcast batch AND q axes — not the shape itself
+# (run_scripts/probe_shortq.py: bias-free kernels compile at every probed
+# shape on hardware).  These lock the two fixes: (a) bias=None streams no
+# bias operand at all, (b) biases in the crash class ([1,1,1,Sk] /
+# [1,H,1,Sk]) get their q axis materialized by _norm_bias.
+# ---------------------------------------------------------------------------
+
+def test_fused_no_bias_backward_matches_xla():
+    b, h, sq, sk, d = 2, 2, 12, 96, 32
+    q, k, v = _rand((b, h, sq, d), 0), _rand((b, h, sk, d), 1), _rand((b, h, sk, d), 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_ref(_xla_attention, q, k, v, None)))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.sin(fused_attention(q, k, v, None,
+                                               interpret=_INTERP)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), **_BWD_TOL)
+
+
+def test_packed_no_bias_backward_matches_xla():
+    from mm_vqa_healthcare_tpu.ops.flash_attention import (
+        fused_attention_packed)
+    b, s, h, d = 2, 24, 4, 32
+    q3, k3, v3 = (_rand((b, s, h * d), i) for i in range(3))
+    w = _rand((b, s, h * d), 9)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, h, None,
+                                              interpret=_INTERP) * w)
+
+    def loss_ref(q, k, v):
+        from mm_vqa_healthcare_tpu.ops.attention import (merge_heads,
+                                                         split_heads)
+        ctx = _ref(_xla_attention, split_heads(q, h), split_heads(k, h),
+                   split_heads(v, h), None)
+        return jnp.sum(merge_heads(ctx) * w)
+
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2))(q3, k3, v3)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
+    for a, b_, name in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   err_msg=f"d{name}", **_BWD_TOL)
+
+
+@pytest.mark.parametrize("bias_shape", [(1, 1, 1, None), (1, 3, 1, None)])
+def test_broadcast_q_bias_guard_fwd_bwd(bias_shape):
+    """Crash-class biases (broadcast batch + q axes) route through the
+    _norm_bias q-axis materialization and stay XLA-exact fwd + bwd."""
+    b, h, sq, sk, d = 2, 3, 12, 64, 32
+    bb, bh, bq, _ = bias_shape
+    q, k, v = _rand((b, h, sq, d), 0), _rand((b, h, sk, d), 1), _rand((b, h, sk, d), 2)
+    bias = _rand((bb, bh, bq, sk), 7)
+    ref = _ref(_xla_attention, q, k, v, bias)
+    out = fused_attention(q, k, v, bias, interpret=_INTERP)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_FWD_TOL)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.sin(fused_attention(q, k, v, bias,
+                                               interpret=_INTERP)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_ref(_xla_attention, q, k, v, bias)))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), **_BWD_TOL)

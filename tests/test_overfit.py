@@ -1,0 +1,146 @@
+"""Convergence proof for all four training lanes (VERDICT r3 item 1).
+
+Every other trainer test runs <=2 steps and asserts finiteness; these
+overfit a tiny fixture for a few hundred steps and assert the score is
+near-perfect.  This is the only checkpoint-free end-to-end evidence that
+objectives, LR groups, schedules, freezing, and grad accumulation are all
+wired so the stack actually LEARNS (a target-alignment bug, an LR-group
+mislabel, or a masking sign error would pass every finiteness test and
+fail here).
+
+The fixture's answers are a pure function of the question text and ALL
+samples share ONE image: the stock fixture's random-noise images are so
+distinctive that the model memorizes the image->answer shortcut instead
+of reading the question (observed: train score 4/4, test score 0 because
+test pairs the same questions with different images).  With a single
+shared image the question is the only predictive signal, so a near-1.0
+test score proves the text path + objective + optimizer all learn.
+Reference training semantics:
+/root/reference/m3ae/modules/m3ae_utils.py:112-242, objectives.py:14-234.
+
+Slow tier (not @fast): ~100-300 steps per lane on the 8-virtual-device
+CPU mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+
+def _make_single_image_vqa(root: str):
+    """VQA arrows where every sample uses the same image (see module doc)."""
+    from mm_vqa_healthcare_tpu.prepro.make_arrow import make_arrow_vqa_m3ae
+    img = fixtures.make_images(os.path.join(root, "images"), n=1)[0]
+    data = {"train": [], "val": [], "test": []}
+    qid = 0
+    for split, count in [("train", 8), ("val", 4), ("test", 4)]:
+        for _ in range(count):
+            q, a, at = fixtures.QUESTIONS[qid % len(fixtures.QUESTIONS)]
+            data[split].append({"img_path": img, "qid": qid, "question": q,
+                                "answer": a, "answer_type": at})
+            qid += 1
+    data_root = os.path.join(root, "arrows")
+    label2ans = os.path.join(data_root, "label2ans.json")
+    os.makedirs(data_root, exist_ok=True)
+    make_arrow_vqa_m3ae(data, "vqa_vqa_rad", data_root,
+                        label2ans_path=label2ans)
+    vocab = fixtures.write_vocab(os.path.join(root, "vocab.txt"))
+    return data_root, label2ans, vocab
+
+
+@pytest.fixture(scope="module")
+def vqa_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("overfit_fixture")
+    return _make_single_image_vqa(str(root))
+
+
+def _overfit_overrides(tmp_path, steps):
+    # aggressive-but-stable LR for from-scratch tiny towers: base 3e-4,
+    # heads x10; linear decay to 0 over the run anneals the endpoint
+    return dict(
+        max_steps=steps, max_epoch=10_000, warmup_steps=0,
+        learning_rate=3e-4, lr_multiplier_head=10,
+        lr_multiplier_multi_modal=5,
+        default_root_dir=str(tmp_path), log_every_n_steps=10_000,
+        drop_rate=0.0,
+    )
+
+
+def test_overfit_classifier(vqa_data, tmp_path):
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               **_overfit_overrides(tmp_path, 200))
+    metrics = Trainer(cfg).fit()
+    assert metrics["vqa/score"] >= 0.95, metrics
+
+
+def test_overfit_decoder(vqa_data, tmp_path):
+    """The decoder trains against a FROZEN backbone (reference
+    m3ae_decoder.py:213-216); with a from-scratch random backbone the
+    2-token CLS memory is nearly question-invariant at tiny scale, so the
+    overfit uses the reference's include_imagetext_feats flag (richer
+    memory, m3ae_decoder.py:302-313) and a hotter LR.  Calibrated: TF
+    accuracy saturates ~step 500, greedy exact_match 1.0 at 600."""
+    from mm_vqa_healthcare_tpu.train.decoder_trainer import DecoderTrainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               mm_encoder_inputs_include_imagetext_feats=True,
+                               **_overfit_overrides(tmp_path, 2))
+    cfg["max_epoch"] = 300          # decoder fit paces by epochs (2 steps ea)
+    cfg["learning_rate"] = 2e-3
+    t = DecoderTrainer(cfg)
+    t.max_answer_length = 8
+    metrics = t.fit()
+    assert metrics["test/exact_match"] >= 0.95, metrics
+
+
+def test_overfit_t5(vqa_data, tmp_path):
+    import mm_vqa_healthcare_tpu.models.t5 as t5_mod
+    from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+    from mm_vqa_healthcare_tpu.models.t5 import T5Config
+    from mm_vqa_healthcare_tpu.train.t5_trainer import T5Trainer
+    data_root, _, vocab = vqa_data
+    cfg = fixtures.tiny_config(data_root, vocab, t5_max_length=8,
+                               unfreeze_num_encoder_layers=1,
+                               unfreeze_num_decoder_layers=1,
+                               t5_generation=False,
+                               **_overfit_overrides(tmp_path, 2))
+    cfg["max_epoch"] = 150
+    t5_mod.T5_PRESETS["t5-small"] = T5Config(
+        vocab_size=200, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2)
+    tok = load_tokenizer("tiny-bert", vocab)
+    t = T5Trainer(cfg, variant="mm", tokenizer=tok)
+    metrics = t.fit()
+    assert metrics["test/exact_match"] >= 0.95, metrics
+
+
+def test_overfit_pretrain(tmp_path_factory, tmp_path):
+    """mlm+mim+itm multi-task: memorize 4 captions -> high masked-token
+    accuracy, perfect match/mismatch discrimination, shrinking MIM loss."""
+    from mm_vqa_healthcare_tpu import config as C
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    root = tmp_path_factory.mktemp("overfit_pretrain")
+    data_root = fixtures.make_caption_fixture(str(root), name="roco")
+    vocab = fixtures.write_vocab(str(root / "vocab.txt"))
+    cfg = C.compose(["task_pretrain_m3ae", "tiny_debug"])
+    cfg.update(
+        datasets=["roco"], data_root=data_root, tokenizer_path=vocab,
+        attention_impl="xla", num_workers=0, mim_layer=1,
+        mesh_shape={"data": 2}, per_gpu_batchsize=2, batch_size=4,
+        device_transforms=False,
+    )
+    cfg.update(_overfit_overrides(tmp_path, 300))
+    t = Trainer(cfg)
+    t.setup_data()
+    t.init_params()
+    before = t.evaluate("val")
+    metrics = t.fit()
+    assert metrics["itm/accuracy"] >= 0.95, metrics
+    assert metrics["mlm/accuracy"] >= 0.80, metrics
+    assert metrics["mim/loss"] < 0.5 * before["mim/loss"], (before, metrics)
+    assert metrics["mlm/accuracy"] > before.get("mlm/accuracy", 0.0) + 0.3
