@@ -151,8 +151,14 @@ def base_config() -> Dict[str, Any]:
         # state_dict (zero-egress equivalents of from_pretrained('t5-small')).
         t5_tokenizer_path="",
         t5_pretrained_path="",
-        # Compute dtype inside the jitted step: "float32" | "bfloat16".
-        compute_dtype="float32",
+        # Compute dtype inside the jitted step: "auto" | "float32" |
+        # "bfloat16".  "auto" honors the reference's `precision` key
+        # (pl.Trainer(precision=16) = AMP fp16, main.py:63 via config.py
+        # precision=16 in every finetune/pretrain task): precision 16 ->
+        # bfloat16 on TPU (the TPU-native mixed-precision dtype), float32
+        # everywhere else (the CPU lanes are fp32 parity/golden lanes —
+        # CPU has no native bf16 compute).  Explicit values pass through.
+        compute_dtype="auto",
         # Attention implementation: "auto" (pallas on TPU, xla elsewhere),
         # "pallas", or "xla".
         attention_impl="auto",
@@ -406,6 +412,21 @@ def _parse_value(text: str) -> Any:
         return text
 
 
+def resolve_compute_dtype(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve compute_dtype="auto" from the reference's `precision` key:
+    precision 16 (the reference's AMP fp16, set by every finetune/pretrain
+    task config) -> bfloat16 when the default jax backend is a TPU;
+    float32 otherwise (CPU test lanes stay exact-parity fp32)."""
+    if cfg.get("compute_dtype") == "auto":
+        if int(cfg.get("precision", 32)) == 16:
+            import jax
+            on_tpu = jax.default_backend() == "tpu"
+            cfg["compute_dtype"] = "bfloat16" if on_tpu else "float32"
+        else:
+            cfg["compute_dtype"] = "float32"
+    return cfg
+
+
 def compose(named: Sequence[str] = (), overrides: Dict[str, Any] | None = None) -> Dict[str, Any]:
     """Compose base config + named configs (in order) + key overrides."""
     cfg = base_config()
@@ -418,7 +439,7 @@ def compose(named: Sequence[str] = (), overrides: Dict[str, Any] | None = None) 
             if k not in cfg:
                 raise KeyError(f"Unknown config key {k!r}")
             cfg[k] = v
-    return cfg
+    return resolve_compute_dtype(cfg)
 
 
 def parse_cli(argv: List[str]) -> Dict[str, Any]:
@@ -445,4 +466,4 @@ def parse_cli(argv: List[str]) -> Dict[str, Any]:
             if name not in NAMED_CONFIGS:
                 raise KeyError(f"Unknown named config {name!r}; available: {sorted(NAMED_CONFIGS)}")
             cfg.update(copy.deepcopy(NAMED_CONFIGS[name]))
-    return cfg
+    return resolve_compute_dtype(cfg)

@@ -59,18 +59,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _head_block(h: int, sq_b: int, sk_b: int, d: int,
                 n_f32: int, op_mult: int, dropout: bool,
-                budget: int) -> int:
+                budget: int, itemsize: int = 2) -> int:
     """Largest divisor of h whose per-program VMEM working set fits.
 
     Counts: fp32 score-family buffers (n_f32 of them), the dropout
-    bits+mask, and the bf16 operand blocks — whose minor dim is
-    lane-PADDED by Mosaic (d=64 tiles occupy 128 lanes) and
-    double-buffered across grid steps (x2)."""
+    bits+mask, and the operand blocks at their actual `itemsize` (bf16=2,
+    fp32=4 — the fp32 undercount was the prod-shape vmem OOM,
+    result/r4_prod_compile_check.log) — whose minor dim is lane-PADDED by
+    Mosaic (d=64 tiles occupy 128 lanes) and double-buffered across grid
+    steps (x2)."""
     d_eff = _round_up(d, _LANE)
     per = sq_b * sk_b * 4 * n_f32
     if dropout:
         per += sq_b * sk_b * 6          # uint32 bits + bool keep-ish
-    per += op_mult * (sq_b + sk_b) * d_eff * 2 * 2
+    per += op_mult * (sq_b + sk_b) * d_eff * itemsize * 2
     for hb in range(h, 0, -1):
         if h % hb == 0 and hb * per <= budget:
             return hb
@@ -279,7 +281,8 @@ def _fwd(q, k, v, bias, interpret, dropout_rate=0.0, seed=None,
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=3, op_mult=2,
-                     dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET)
+                     dropout=dropout_rate > 0.0, budget=_FWD_VMEM_BUDGET,
+                     itemsize=q.dtype.itemsize)
     has_bias = bias is not None
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     _check_specs(((1, hb, sq_b, d), q.shape, "split q"),
@@ -337,7 +340,8 @@ def _bwd(q, k, v, bias, do, interpret, dropout_rate=0.0, seed=None,
     b, h, sq, sk, d, sq_b, sk_b = _blocks(q, k)
     scale = (1.0 / (d ** 0.5)) if scale is None else float(scale)
     hb = _head_block(h, sq_b, sk_b, d, n_f32=5, op_mult=4,
-                     dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET)
+                     dropout=dropout_rate > 0.0, budget=_BWD_VMEM_BUDGET,
+                     itemsize=q.dtype.itemsize)
     has_bias = bias is not None
     qspec, kspec = _qkv_specs(sq_b, sk_b, d, hb)
     _check_specs(((1, hb, sq_b, d), q.shape, "split bwd q"),
@@ -740,7 +744,7 @@ def _packed_specs(sq_b, sk_b, d, hb, wb=1):
 
 def _packed_head_block(h: int, sq_b: int, sk_b: int, d: int,
                        n_f32: int, op_mult: int, dropout: bool,
-                       budget: int) -> int:
+                       budget: int, itemsize: int = 2) -> int:
     """Packed layout: the operand lane width is hb*d (no per-head 128-pad).
 
     Mosaic requires lane-dim block sizes to be 128-multiples (or the full
@@ -758,7 +762,7 @@ def _packed_head_block(h: int, sq_b: int, sk_b: int, d: int,
         mult = 1 if _PACKED_PERHEAD else hb
         per_prog = (mult * sq_b * sk_b * 4 * n_f32
                     + (mult * sq_b * sk_b * 6 if dropout else 0)
-                    + op_mult * (sq_b + sk_b) * hb * d * 2 * 2)
+                    + op_mult * (sq_b + sk_b) * hb * d * itemsize * 2)
         if per_prog <= budget:
             return hb
     return 0
@@ -784,7 +788,8 @@ def _packed_fwd(q, k, v, bias, num_heads, interpret, dropout_rate, seed,
     sk_b = _round_up(max(sk, _LANE), _LANE)
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
                             dropout=dropout_rate > 0.0,
-                            budget=_FWD_VMEM_BUDGET)
+                            budget=_FWD_VMEM_BUDGET,
+                            itemsize=q.dtype.itemsize)
     assert hb > 0, "packed fwd infeasible — caller must gate on feasibility"
     has_bias = bias is not None
     if has_bias:
@@ -849,7 +854,8 @@ def _packed_bwd(q, k, v, bias, do, num_heads, interpret, dropout_rate, seed,
     sk_b = _round_up(max(sk, _LANE), _LANE)
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
                             dropout=dropout_rate > 0.0,
-                            budget=_BWD_VMEM_BUDGET)
+                            budget=_BWD_VMEM_BUDGET,
+                            itemsize=q.dtype.itemsize)
     assert hb > 0, "packed bwd infeasible — caller must gate on feasibility"
     has_bias = bias is not None
     if has_bias:
@@ -940,7 +946,8 @@ def _fused_attention_packed_bwd(num_heads, interpret, dropout_rate, scale,
     sk_b = _round_up(max(sk, _LANE), _LANE)
     hb = _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=5, op_mult=4,
                             dropout=dropout_rate > 0.0,
-                            budget=_BWD_VMEM_BUDGET)
+                            budget=_BWD_VMEM_BUDGET,
+                            itemsize=q.dtype.itemsize)
     if hb == 0:
         # packed bwd working set doesn't fit VMEM (image-sized score tiles
         # with dropout): run the split-layout backward — bit-identical
@@ -984,7 +991,8 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     sk_b = _round_up(max(k.shape[1], _LANE), _LANE)
     if _packed_head_block(num_heads, sq_b, sk_b, d, n_f32=3, op_mult=2,
                           dropout=dropout_rate > 0.0,
-                          budget=_FWD_VMEM_BUDGET) == 0:
+                          budget=_FWD_VMEM_BUDGET,
+                          itemsize=q.dtype.itemsize) == 0:
         # no lane-valid head block fits VMEM: split layout end to end
         out = _fused_attention(
             _split_heads(q, num_heads), _split_heads(k, num_heads),

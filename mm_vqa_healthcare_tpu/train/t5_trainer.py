@@ -179,6 +179,13 @@ class T5Trainer:
         n_dec = cfg["unfreeze_num_decoder_layers"]
         t5_cfg = self.model_cfg.t5
         parts = [str(p) for p in path]
+        if parts[1] == "feature_projection":
+            # the reference builds feature_projection AFTER the freeze_t5 /
+            # freeze_m3ae loops (m3ae_t5_mm_encoder_input.py:40-43), so it
+            # keeps requires_grad=True.  Unused under bug_compat (the
+            # fresh-random per-forward projection_layer quirk, :75-77) but
+            # trainable either way, and load-bearing for bug_compat=False.
+            return "train"
         if parts[1] != "t5":
             return "frozen"
         name = parts[2]

@@ -34,6 +34,20 @@ from mm_vqa_healthcare_tpu.utils.logging import MetricLogger
 from mm_vqa_healthcare_tpu.utils.text_metrics import TextMetrics
 
 
+def xla_compiler_options():
+    """Optional per-run XLA compiler options for the jitted steps, from env
+    `MMVQA_XLA_OPTS="xla_tpu_foo=true,xla_tpu_bar=128"` (comma-separated
+    key=value).  Compiler-level knobs only — numerics/parity are untouched;
+    used by the perf sweeps (run_scripts/bench_batch42_tpu.sh) to A/B
+    scheduler/vmem flags that XLA_FLAGS cannot reach through the remote
+    axon compile path."""
+    s = os.environ.get("MMVQA_XLA_OPTS", "")
+    if not s:
+        return None
+    return {k: v for k, _, v in
+            (kv.partition("=") for kv in s.split(",") if kv)}
+
+
 def make_train_key(seed: int, rng_impl: str = "auto") -> jax.Array:
     """Training PRNG key.  impl "auto" picks the hardware RBG generator on
     TPU (threefry mask generation is a measurable slice of a dropout-heavy
@@ -323,9 +337,11 @@ class Trainer:
                 self._train_step_fn, donate_argnums=(0, 1),
                 out_shardings=(leaf_sh(self.params),
                                leaf_sh(self.opt_state),
-                               mesh_lib.replicated(self.mesh)))
+                               mesh_lib.replicated(self.mesh)),
+                compiler_options=xla_compiler_options())
         elif name == "eval":
-            fn = jax.jit(self._eval_step_fn)
+            fn = jax.jit(self._eval_step_fn,
+                         compiler_options=xla_compiler_options())
         self._jitted[name] = fn
         return fn
 

@@ -39,9 +39,10 @@ python -m mm_vqa_healthcare_tpu.prepro.prepro_finetuning_data ehr_xqa \
     --data_root "$WORK/raw" --out "$WORK/arrows"
 
 mkdir -p result
-python main.py with task_finetune_vqa_ehr_xqa tiny_debug \
+{
+  python main.py with task_finetune_vqa_ehr_xqa tiny_debug \
     test_only=True data_root="$WORK/arrows" \
     tokenizer_path="$WORK/vocab.txt" vqa_label_size=8 \
-    per_gpu_batchsize=4 batch_size=4 num_workers=0 \
-    2>&1 | tee result/r4_ehr_xqa_e2e.log
-echo "e2e_ehr_xqa rc=$?" | tee -a result/r4_ehr_xqa_e2e.log
+    per_gpu_batchsize=4 batch_size=4 num_workers=0
+  echo "e2e_ehr_xqa rc=$?"
+} 2>&1 | tee result/r4_ehr_xqa_e2e.log

@@ -594,3 +594,27 @@ def test_broadcast_q_bias_guard_fwd_bwd(bias_shape):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), **_BWD_TOL)
+
+
+@pytest.mark.fast
+def test_vmem_sizing_counts_operand_itemsize():
+    """The head-block chooser must price operand blocks at their REAL
+    itemsize: with bf16 pricing, the fp32 ViT-B cross-attention backward
+    (sq 32, sk 577->640, d 64, h 12) picked hb=12 and overran the 16 MB
+    scoped-vmem limit on the real chip at production shape (20.29M,
+    result/r4_prod_compile_check.log).  fp32 must choose a strictly
+    smaller block than bf16 whenever the bf16 choice was operand-bound."""
+    from mm_vqa_healthcare_tpu.ops import flash_attention as fa
+
+    kw = dict(n_f32=5, op_mult=4, dropout=True,
+              budget=fa._BWD_VMEM_BUDGET)
+    hb_bf16 = fa._packed_head_block(12, 32, 640, 64, itemsize=2, **kw)
+    hb_fp32 = fa._packed_head_block(12, 32, 640, 64, itemsize=4, **kw)
+    assert hb_bf16 >= 1 and hb_fp32 >= 1
+    assert hb_fp32 < hb_bf16, (hb_fp32, hb_bf16)
+    # split-layout chooser: same property
+    sb = fa._head_block(12, 32, 640, 64, n_f32=5, op_mult=4, dropout=True,
+                        budget=fa._BWD_VMEM_BUDGET, itemsize=2)
+    sf = fa._head_block(12, 32, 640, 64, n_f32=5, op_mult=4, dropout=True,
+                        budget=fa._BWD_VMEM_BUDGET, itemsize=4)
+    assert sf <= sb
