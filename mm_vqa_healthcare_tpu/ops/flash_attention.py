@@ -44,9 +44,16 @@ _NEG_INF = -1e30
 _LANE = 128
 _SUBLANE = 16
 # VMEM budgets (bytes) for the per-program working set; the core has
-# ~16 MB scoped VMEM, leave headroom for Mosaic internals.
+# ~16 MB scoped VMEM, leave headroom for Mosaic internals.  The bwd
+# budget is 13 MB (round-4 batch43): at 10 MB the fusion image-branch
+# self-attention backward (584x640 fp32 score family + dropout bits =
+# 12.2 MB at the minimum lane-valid hb=2) fell back to the split layout
+# and paid the [B,577,12,64] relayout copies — 13 MB lets it stay packed
+# and Mosaic accepts the real allocation on-chip (driver lane 179.6 ->
+# 188.0 samples/s, step 178.2 -> 170.2 ms; a 24 MB budget with
+# xla_tpu_scoped_vmem_limit_kib=32768 adds nothing further).
 _FWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_FWD_BUDGET", 12 * 2 ** 20))
-_BWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET", 10 * 2 ** 20))
+_BWD_VMEM_BUDGET = int(os.environ.get("MMVQA_ATTN_BWD_BUDGET", 13 * 2 ** 20))
 # Default ON (round-2 batch7: +9 samples/s train, +27 eval): Mosaic's
 # allocator reuses the per-head loop buffers, so the fp32 score family
 # is live once per program, letting image self-attention (dropout) pack.
