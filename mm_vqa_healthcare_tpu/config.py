@@ -94,6 +94,10 @@ def base_config() -> Dict[str, Any]:
         mm_encoder_inputs_include_cls_feats=True,
         mm_encoder_inputs_include_imagetext_feats=False,
         mm_encoder_inputs_mm_feats_width=0,
+        # fixed soft-prompt length the T5 encoder input is padded to
+        # (reference hardcodes 512 with an all-ones mask,
+        # m3ae_t5_mm_encoder_input.py:173-178)
+        t5_encoder_max_seq_len=512,
 
         # T5 model setting
         t5_model_name="t5-small",

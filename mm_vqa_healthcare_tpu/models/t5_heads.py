@@ -62,6 +62,12 @@ class T5HeadConfig:
             include_imagetext_feats=config[
                 "mm_encoder_inputs_include_imagetext_feats"],
             mm_feats_width=config["mm_encoder_inputs_mm_feats_width"],
+            # reference pads the soft-prompt to a fixed 512 with an
+            # all-ones mask (m3ae_t5_mm_encoder_input.py:173-178); the knob
+            # exists for scaled-down runs (e.g. the overfit convergence
+            # tests, where 509 unmasked zero-embedding positions dilute
+            # the informative tokens to noise at tiny model scale)
+            max_seq_len=config.get("t5_encoder_max_seq_len", 512),
             max_answer_length=config["t5_max_length"],
             question_prefix_ids=tuple(question_prefix_ids),
             context_prefix_ids=tuple(context_prefix_ids),
@@ -108,12 +114,18 @@ class T5VQAModel(nn.Module):
 
     def _fresh_seq_proj(self, rng, feats: jax.Array, width: int) -> jax.Array:
         """[B, S, 768] -> [B, width, 512]: seq-len projection then embed-dim
-        projection, both fresh random per sample (mm variant :134-146)."""
+        projection, both fresh random per sample (mm variant :134-146).
+        With bug_compat=False the caller passes a fixed rng AND the
+        per-sample fold is disabled, so ONE stable random projection is
+        shared by every sample on every forward (batch-slot folds would
+        otherwise give a shuffled sample a different soft prompt each
+        epoch)."""
         b, s, d = feats.shape
         d_model = self.cfg.t5.d_model
+        per_sample = self.cfg.bug_compat
 
         def one(i):
-            r = jax.random.fold_in(rng, 7919 + i)
+            r = jax.random.fold_in(rng, 7919 + (i if per_sample else 0))
             w1, b1 = _torch_linear_sample(jax.random.fold_in(r, 0), width, s)
             w2, b2 = _torch_linear_sample(jax.random.fold_in(r, 1),
                                           d_model, d)
@@ -165,12 +177,21 @@ class T5VQAModel(nn.Module):
             parts.append(self._project_feat(rng, avg_txt, 2)[:, None, :])
             parts.append(prefix_embeds(cfg.question_prefix_ids))
             parts.append(self.t5.embed_tokens(batch["t5_question_ids"]))
-        elif cfg.variant == "text":
+        # The sequence-feature projections replay the reference's
+        # fresh-random-per-forward quirk (m3ae_t5_mm_encoder_input.py
+        # :134-146).  With bug_compat=False the projections are still
+        # random (no reference weights exist for them) but drawn from a
+        # FIXED key, so the same features map to the same soft prompt on
+        # every forward — without this the encoder inputs are
+        # re-randomized noise each step and nothing downstream can learn
+        # from them (the round-4 T5 overfit diagnosis).
+        seq_rng = rng if cfg.bug_compat else jax.random.key(0)
+        if cfg.variant == "text":
             parts.append(prefix_embeds(cfg.question_prefix_ids))
             width = cfg.mm_feats_width or batch["text_ids"].shape[1]
             parts.append(self._fresh_seq_proj(
-                rng, m3ae_out["multi_modal_text_feats"], width))
-        else:  # mm
+                seq_rng, m3ae_out["multi_modal_text_feats"], width))
+        elif cfg.variant == "mm":
             parts.append(prefix_embeds(cfg.question_prefix_ids))
             if cfg.include_cls_feats:
                 cls = m3ae_out["multi_modal_cls_feats"]
@@ -178,9 +199,9 @@ class T5VQAModel(nn.Module):
             if cfg.include_imagetext_feats:
                 half = cfg.mm_feats_width // 2
                 parts.append(self._fresh_seq_proj(
-                    rng, m3ae_out["multi_modal_image_feats"], half))
+                    seq_rng, m3ae_out["multi_modal_image_feats"], half))
                 parts.append(self._fresh_seq_proj(
-                    jax.random.fold_in(rng, 13),
+                    jax.random.fold_in(seq_rng, 13),
                     m3ae_out["multi_modal_text_feats"], half))
 
         embeds = jnp.concatenate(parts, axis=1)

@@ -389,8 +389,19 @@ class Trainer:
         def run_validation():
             nonlocal best_metric, best_path
             val_metrics = self.evaluate("val")
-            the_metric = val_metrics.get("vqa/score", 0.0)
+            # ModelCheckpoint(monitor="val/the_metric") semantics: the vqa
+            # score for the finetune tasks.  The reference's
+            # m3ae_utils.epoch_wrapup never logs the_metric for the
+            # pretrain losses (only m3ae_t5_utils does), so PL skips
+            # best-saving there and test() runs the LAST weights — mirror
+            # that by not tracking a best when the monitored key is absent
+            # (defaulting it to 0.0 froze "best" at the first epoch and
+            # made pretrain test() evaluate near-initial weights; caught
+            # by tests/test_overfit.py::test_overfit_pretrain).
+            the_metric = val_metrics.get("vqa/score")
             self.logger.log_step("val", self.global_step, val_metrics)
+            if the_metric is None:
+                return
             if the_metric > best_metric:
                 best_metric = the_metric
                 best_path = os.path.join(

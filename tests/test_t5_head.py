@@ -122,6 +122,41 @@ def test_fresh_projection_changes_with_rng(vqa_data):
                            np.asarray(e2[:, prefix_len]))
 
 
+def test_repaired_seq_projection_stable(vqa_data):
+    """bug_compat=False: the sequence-feature projections are drawn from a
+    FIXED key shared across samples and forwards — the same features must
+    map to the same soft prompt regardless of the step rng or the batch
+    slot (under bug_compat=True they are fresh noise per forward, which
+    is reference behavior but unlearnable; DEVIATIONS.md #5)."""
+    t = _trainer(vqa_data, "mm", bug_compat=False,
+                 mm_encoder_inputs_include_imagetext_feats=True,
+                 mm_encoder_inputs_mm_feats_width=8)
+    t.setup_data()
+    t.init_params()
+    cfg = t.config
+    from mm_vqa_healthcare_tpu.models.t5_heads import T5VQAModel
+    img = jnp.linspace(0, 1, 2 * cfg["image_size"] ** 2 * 3).reshape(
+        (2, cfg["image_size"], cfg["image_size"], 3))
+    batch = {
+        "text_ids": jnp.tile(jnp.arange(cfg["max_text_len"],
+                                        dtype=jnp.int32)[None], (2, 1)),
+        "text_masks": jnp.ones((2, cfg["max_text_len"]), jnp.int32),
+        "image": img,
+    }
+    e1, _ = t.model.apply(t.params, batch, jax.random.key(1),
+                          method=T5VQAModel.prepare_inputs)
+    e2, _ = t.model.apply(t.params, batch, jax.random.key(2),
+                          method=T5VQAModel.prepare_inputs)
+    # different step rngs -> identical soft prompt
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+    # identical samples in different batch slots -> identical prompt rows
+    swapped = {k: v[::-1] for k, v in batch.items()}
+    e3, _ = t.model.apply(t.params, swapped, jax.random.key(3),
+                          method=T5VQAModel.prepare_inputs)
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(e1[::-1]),
+                               atol=1e-6)
+
+
 def test_t5_finetune_and_beam_test(vqa_data):
     t = _trainer(vqa_data, "mm", fast_dev_run=True, max_epoch=1)
     metrics = t.fit()
