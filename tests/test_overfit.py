@@ -31,12 +31,18 @@ from tests import fixtures
 
 
 def _make_single_image_vqa(root: str):
-    """VQA arrows where every sample uses the same image (see module doc)."""
+    """VQA arrows where every sample uses the same image (see module doc).
+
+    val/test carry ALL 8 questions (not a 4-question slice): best-ckpt
+    selection monitors the val score, and a partial val set freezes
+    "best" the first time ITS questions are memorized while the others
+    are still wrong — the round-4 hardware run hit exactly that (val 1.0
+    at step 108, test 0.5 with the step-108 weights)."""
     from mm_vqa_healthcare_tpu.prepro.make_arrow import make_arrow_vqa_m3ae
     img = fixtures.make_images(os.path.join(root, "images"), n=1)[0]
     data = {"train": [], "val": [], "test": []}
     qid = 0
-    for split, count in [("train", 8), ("val", 4), ("test", 4)]:
+    for split, count in [("train", 8), ("val", 8), ("test", 8)]:
         for _ in range(count):
             q, a, at = fixtures.QUESTIONS[qid % len(fixtures.QUESTIONS)]
             data[split].append({"img_path": img, "qid": qid, "question": q,
