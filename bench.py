@@ -14,7 +14,8 @@ the denominator is an engineering estimate of the reference stack on its
 A6000 fp16 ~155 TFLOPs peak at ~15-20% eager-torch MFU -> ~60 samples/s).
 Override with env A6000_BASELINE_SPS.
 
-Env knobs: BENCH_BATCH (per-chip batch, default 16), BENCH_DTYPE
+Env knobs: BENCH_BATCH (per-chip batch, default 32 train / 16 eval — the
+measured optima, see default_batch below), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 100),
 BENCH_MODE (train|eval|pretrain|decode|decode_step|t5_beam|realdata, default train), BENCH_ATTN
 (auto|pallas|xla), BENCH_DROP (attention dropout rate).  realdata runs the
