@@ -115,6 +115,9 @@ def base_config() -> Dict[str, Any]:
         resume_from=None,
         fast_dev_run=False,
         val_check_interval=1.0,
+        # PL Trainer default the reference never overrides; here it lets
+        # calibrated overfit runs (2-step "epochs") validate every N epochs
+        check_val_every_n_epoch=1,
         test_only=False,
         default_root_dir="checkpoints",
 

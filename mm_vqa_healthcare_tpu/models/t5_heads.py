@@ -49,6 +49,12 @@ class T5HeadConfig:
     context_prefix_ids: Tuple[int, ...] = ()    # T5 ids of "context:"
     bug_compat: bool = True
 
+    def __post_init__(self):
+        if self.variant not in ("mm", "combined", "text"):
+            raise ValueError(
+                f"unknown T5 head variant {self.variant!r}; "
+                "expected 'mm', 'combined', or 'text'")
+
     @classmethod
     def from_dict(cls, config: Dict[str, Any],
                   question_prefix_ids=(), context_prefix_ids=(),
@@ -125,19 +131,28 @@ class T5VQAModel(nn.Module):
         per_sample = self.cfg.bug_compat
 
         def one(i):
-            r = jax.random.fold_in(rng, 7919 + (i if per_sample else 0))
+            r = jax.random.fold_in(rng, 7919 + i)
             w1, b1 = _torch_linear_sample(jax.random.fold_in(r, 0), width, s)
             w2, b2 = _torch_linear_sample(jax.random.fold_in(r, 1),
                                           d_model, d)
             return w1, b1, w2, b2
-        w1, b1, w2, b2 = jax.vmap(one)(jnp.arange(b))
         # feats[i].T [d, s] -> Linear(s, width) -> [d, width] -> .T [width, d]
         # (bias b1 is added per width row, broadcast over d)
-        proj = jnp.einsum("bsd,bws->bwd", feats, w1.astype(feats.dtype)) \
-            + b1.astype(feats.dtype)[:, :, None]
-        out = jnp.einsum("bwd,bod->bwo", proj, w2.astype(feats.dtype)) \
-            + b2.astype(feats.dtype)[:, None, :]
-        return out
+        if per_sample:
+            w1, b1, w2, b2 = jax.vmap(one)(jnp.arange(b))
+            proj = jnp.einsum("bsd,bws->bwd", feats,
+                              w1.astype(feats.dtype)) \
+                + b1.astype(feats.dtype)[:, :, None]
+            return jnp.einsum("bwd,bod->bwo", proj,
+                              w2.astype(feats.dtype)) \
+                + b2.astype(feats.dtype)[:, None, :]
+        # repaired path: ONE shared projection sampled once (not B vmapped
+        # copies of identical weights — same numerics, smaller graph)
+        w1, b1, w2, b2 = one(0)
+        proj = jnp.einsum("bsd,ws->bwd", feats, w1.astype(feats.dtype)) \
+            + b1.astype(feats.dtype)[None, :, None]
+        return jnp.einsum("bwd,od->bwo", proj, w2.astype(feats.dtype)) \
+            + b2.astype(feats.dtype)[None, None, :]
 
     def prepare_inputs(self, batch: Dict[str, jax.Array],
                        rng: Optional[jax.Array] = None,

@@ -20,29 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tests import fixtures
-from tests.test_overfit import _overfit_overrides
-from tests import fixtures as fx
-
-
-def _make_identical_splits_vqa(root):
-    import shutil
-    from mm_vqa_healthcare_tpu.prepro.make_arrow import make_arrow_vqa_m3ae
-    imgs = fx.make_images(os.path.join(root, 'images'), n=8)
-    data = {'train': [], 'val': [], 'test': []}
-    for split in ('train', 'val', 'test'):
-        n = 8 if split == 'train' else 4
-        for i in range(n):
-            q, a, at = fx.QUESTIONS[i % len(fx.QUESTIONS)]
-            p = imgs[i]
-            if split != 'train':
-                p2 = p.replace('.png', f'_{split}.png')
-                shutil.copyfile(p, p2); p = p2
-            data[split].append({'img_path': p, 'qid': 100*i, 'question': q,
-                                'answer': a, 'answer_type': at})
-    dr = os.path.join(root, 'arrows'); os.makedirs(dr, exist_ok=True)
-    make_arrow_vqa_m3ae(data, 'vqa_vqa_rad', dr,
-                        label2ans_path=os.path.join(dr, 'label2ans.json'))
-    return dr, None, fx.write_vocab(os.path.join(root, 'vocab.txt'))
+# single source of truth for the fixture — the test module owns it
+# (advisor r4: a duplicated copy here had already drifted on qid salts)
+from tests.test_overfit import _make_identical_splits_vqa, _overfit_overrides
 
 
 
@@ -51,7 +31,7 @@ def main():
     root = "/tmp/debug_t5_overfit"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    data_root, _, vocab = _make_identical_splits_vqa(root)
+    data_root, vocab = _make_identical_splits_vqa(root)
 
     import mm_vqa_healthcare_tpu.models.t5 as t5_mod
     from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
