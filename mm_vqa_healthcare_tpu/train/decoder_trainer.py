@@ -31,6 +31,7 @@ from mm_vqa_healthcare_tpu.models.decoder_model import (
     DecoderModelConfig, DecoderVQAModel)
 from mm_vqa_healthcare_tpu.parallel import mesh as mesh_lib
 from mm_vqa_healthcare_tpu.train.objectives import cross_entropy_ignore
+from mm_vqa_healthcare_tpu.train.trainer import xla_compiler_options
 from mm_vqa_healthcare_tpu.train.optim import (
     resolve_steps, warmup_cosine_schedule, warmup_polynomial_schedule)
 from mm_vqa_healthcare_tpu.utils.logging import MetricLogger
@@ -294,12 +295,14 @@ class DecoderTrainer:
         if name not in self._jitted:
             rep = mesh_lib.replicated(self.mesh)
             data = mesh_lib.batch_sharding(self.mesh)
+            copts = xla_compiler_options()
             if name == "train":
                 self._jitted[name] = jax.jit(
                     self._train_step_fn,
                     in_shardings=(rep, rep, data, rep),
                     out_shardings=(rep, rep, rep, data),
-                    donate_argnums=(0, 1))
+                    donate_argnums=(0, 1),
+                    compiler_options=copts)
             else:
                 if os.environ.get("MMVQA_HOST_DECODE") or \
                         self.config.get("host_decode"):
@@ -309,7 +312,8 @@ class DecoderTrainer:
                 else:
                     self._jitted[name] = jax.jit(
                         self._decode_fn, in_shardings=(rep, data),
-                        out_shardings=data)
+                        out_shardings=data,
+                        compiler_options=copts)
         return self._jitted[name]
 
     def _device_batch(self, batch, with_targets: bool):

@@ -304,16 +304,21 @@ class T5Trainer:
         if name not in self._jitted:
             rep = mesh_lib.replicated(self.mesh)
             data = mesh_lib.batch_sharding(self.mesh)
+            from mm_vqa_healthcare_tpu.train.trainer import \
+                xla_compiler_options
+            copts = xla_compiler_options()
             if name == "train":
                 self._jitted[name] = jax.jit(
                     self._train_step_fn,
                     in_shardings=(rep, rep, data, rep),
                     out_shardings=(rep, rep, rep),
-                    donate_argnums=(0, 1))
+                    donate_argnums=(0, 1),
+                    compiler_options=copts)
             elif name == "encode":
                 self._jitted[name] = jax.jit(
                     self._encode_fn, in_shardings=(rep, data, rep),
-                    out_shardings=(data, data))
+                    out_shardings=(data, data),
+                    compiler_options=copts)
         return self._jitted[name]
 
     def _device_batch(self, batch, with_labels: bool):

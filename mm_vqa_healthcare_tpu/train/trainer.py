@@ -41,11 +41,22 @@ def xla_compiler_options():
     used by the perf sweeps (run_scripts/bench_batch42_tpu.sh) to A/B
     scheduler/vmem flags that XLA_FLAGS cannot reach through the remote
     axon compile path."""
+    # TPU default (round 5): raise the compiler's scoped-VMEM heuristic
+    # limit from 16 MB toward the chip's physical VMEM.  Measured +0.55%
+    # on the driver train lane (batch42: 189.3 vs 188.3, twice) and
+    # REQUIRED for the pretrain lane at the 13 MB packed-bwd budget: the
+    # fusion vision-branch attention backward at 325 tokens actually
+    # allocates 16.81 MB on-chip (batch44 lane-0 compile failure at the
+    # 16 MB default limit) while the head-block estimator's working-set
+    # model says hb=2 fits.  MMVQA_XLA_OPTS overrides the same key, so
+    # A/Bs restore the old limit with xla_tpu_scoped_vmem_limit_kib=16384.
+    opts = {}
+    if jax.default_backend() == "tpu":
+        opts["xla_tpu_scoped_vmem_limit_kib"] = "32768"
     s = os.environ.get("MMVQA_XLA_OPTS", "")
-    if not s:
-        return None
-    return {k: v for k, _, v in
-            (kv.partition("=") for kv in s.split(",") if kv)}
+    opts.update({k: v for k, _, v in
+                 (kv.partition("=") for kv in s.split(",") if kv)})
+    return opts or None
 
 
 def make_train_key(seed: int, rng_impl: str = "auto") -> jax.Array:
