@@ -800,82 +800,101 @@ def main():
         }))
         return
 
-    trainer, step, dev_batch, global_batch = build(batch_size, dtype, mode)
-    from mm_vqa_healthcare_tpu.train.trainer import make_train_key
-    rng = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
+    def run_std_lane(lane_mode: str, lane_batch: int) -> dict:
+        """One train/eval/pretrain lane measurement -> result dict."""
+        trainer, step, dev_batch, global_batch = build(
+            lane_batch, dtype, lane_mode)
+        from mm_vqa_healthcare_tpu.train.trainer import make_train_key
+        rng = make_train_key(0, os.environ.get("BENCH_RNG", "auto"))
 
-    # NOTE on timing: steps are chained through a data dependency (params
-    # in train mode; a loss-perturbed image in eval mode) and the loop ends
-    # with jax.device_get, which is the only reliable full-pipeline sync on
-    # remote-executed backends (block_until_ready can return early there).
-    def run_one(i, carry):
-        if mode in ("train", "pretrain"):
-            p, o, aux = step(trainer.params, trainer.opt_state, dev_batch,
-                             jax.random.fold_in(rng, i))
-            trainer.params, trainer.opt_state = p, o
-            return aux["loss"]
-        batch = dict(dev_batch)
-        if carry is not None:
-            batch["image"] = batch["image"] + (carry * 0.0).astype(
-                batch["image"].dtype)
-        return step(trainer.params, batch)["loss"]
+        # NOTE on timing: steps are chained through a data dependency
+        # (params in train mode; a loss-perturbed image in eval mode) and
+        # the loop ends with jax.device_get, which is the only reliable
+        # full-pipeline sync on remote-executed backends
+        # (block_until_ready can return early there).
+        def run_one(i, carry):
+            if lane_mode in ("train", "pretrain"):
+                p, o, aux = step(trainer.params, trainer.opt_state,
+                                 dev_batch, jax.random.fold_in(rng, i))
+                trainer.params, trainer.opt_state = p, o
+                return aux["loss"]
+            batch = dict(dev_batch)
+            if carry is not None:
+                batch["image"] = batch["image"] + (carry * 0.0).astype(
+                    batch["image"].dtype)
+            return step(trainer.params, batch)["loss"]
 
-    # compile + warmup (synced)
-    loss = run_one(0, None)
-    loss = run_one(1, loss)
-    jax.device_get(loss)
-    profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    carry = loss
-    for i in range(steps):
-        carry = run_one(i + 2, carry)
-    jax.device_get(carry)
-    dt = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
+        # compile + warmup (synced)
+        loss = run_one(0, None)
+        loss = run_one(1, loss)
+        jax.device_get(loss)
+        profile_dir = os.environ.get("MMVQA_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        carry = loss
+        for i in range(steps):
+            carry = run_one(i + 2, carry)
+        jax.device_get(carry)
+        dt = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
 
-    sps = global_batch * steps / dt
-    sps_chip = sps / jax.device_count()
-    baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
-    # MFU per BASELINE.md accounting: 577 GF/sample train step (fwd+bwd+
-    # optimizer), 192 GF/sample fwd-only, at image 384; v5e bf16 dense
-    # peak 197 TFLOP/s.  Only meaningful on the TPU backend.
-    mfu = None
-    # GF-per-sample accounting per preset (derivations in BASELINE.md):
-    # clip16 = ViT-B/16@577tok + BERT + 6x2 fusion; swin32_base384 =
-    # swin-base@384 (94 GF tower, = timm's 47.1 GMACs) + BERT + fusion
-    # over the 144-token image stream.  pretrain (clip16 @288, text 64,
-    # mlm+mim+itm) = 778.8 GF/sample, XLA-audited executed flops
-    # (run_scripts/flops_audit.py; BASELINE.md derivation).
-    _GF = {"clip16": (577.0, 192.0, 778.8),
-           "swin32_base384": (360.0, 120.0, None)}
-    preset_gf = _GF.get(os.environ.get("BENCH_PRESET", "clip16"))
-    if (jax.default_backend() == "tpu"
-            and mode in ("train", "eval", "pretrain")
-            and preset_gf is not None):
-        gf_per_sample = {"train": preset_gf[0], "eval": preset_gf[1],
-                         "pretrain": preset_gf[2]}[mode]
-        if gf_per_sample is not None:
-            peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
-            mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
-    print(json.dumps({
-        "metric": f"vqa_rad_finetune_{mode}_samples_per_sec_per_chip",
-        "value": round(sps_chip, 2),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(sps_chip / baseline, 3),
-        "detail": {
-            "global_samples_per_sec": round(sps, 2),
-            "devices": jax.device_count(),
-            "per_chip_batch": batch_size,
-            "dtype": dtype,
-            "image_size": 288 if mode == "pretrain" else 384,
-            "step_time_ms": round(1000 * dt / steps, 2),
-            **({"mfu": mfu} if mfu is not None else {}),
-            "baseline_note": f"A6000 torch-eager estimate {baseline} samples/s",
-        },
-    }))
+        sps = global_batch * steps / dt
+        sps_chip = sps / jax.device_count()
+        baseline = float(os.environ.get("A6000_BASELINE_SPS", "60.0"))
+        # MFU per BASELINE.md accounting: 577 GF/sample train step (fwd+
+        # bwd+optimizer), 192 GF/sample fwd-only, at image 384; v5e bf16
+        # dense peak 197 TFLOP/s.  Only meaningful on the TPU backend.
+        mfu = None
+        # GF-per-sample accounting per preset (derivations in BASELINE.md):
+        # clip16 = ViT-B/16@577tok + BERT + 6x2 fusion; swin32_base384 =
+        # swin-base@384 (94 GF tower, = timm's 47.1 GMACs) + BERT + fusion
+        # over the 144-token image stream.  pretrain (clip16 @288, text
+        # 64, mlm+mim+itm) = 778.8 GF/sample, XLA-audited executed flops
+        # (run_scripts/flops_audit.py; BASELINE.md derivation).
+        _GF = {"clip16": (577.0, 192.0, 778.8),
+               "swin32_base384": (360.0, 120.0, None)}
+        preset_gf = _GF.get(os.environ.get("BENCH_PRESET", "clip16"))
+        if (jax.default_backend() == "tpu"
+                and lane_mode in ("train", "eval", "pretrain")
+                and preset_gf is not None):
+            gf_per_sample = {"train": preset_gf[0], "eval": preset_gf[1],
+                             "pretrain": preset_gf[2]}[lane_mode]
+            if gf_per_sample is not None:
+                peak_tf = float(os.environ.get("TPU_PEAK_TFLOPS", "197.0"))
+                mfu = round(sps_chip * gf_per_sample / (peak_tf * 1e3), 3)
+        return {
+            "metric": f"vqa_rad_finetune_{lane_mode}_samples_per_sec_per_chip",
+            "value": round(sps_chip, 2),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(sps_chip / baseline, 3),
+            "detail": {
+                "global_samples_per_sec": round(sps, 2),
+                "devices": jax.device_count(),
+                "per_chip_batch": lane_batch,
+                "dtype": dtype,
+                "image_size": 288 if lane_mode == "pretrain" else 384,
+                "step_time_ms": round(1000 * dt / steps, 2),
+                **({"mfu": mfu} if mfu is not None else {}),
+                "baseline_note":
+                    f"A6000 torch-eager estimate {baseline} samples/s",
+            },
+        }
+
+    # BASELINE.json's metric is "samples/sec/chip; eval answers/sec":
+    # the default (driver-parsed) invocation reports BOTH — the eval
+    # forward lane as an extra JSON line first (one answer per forward on
+    # the classifier task), then the train lane as the FINAL line the
+    # driver parses.  BENCH_EVAL_LANE=0 restores single-lane output
+    # (perf sweeps that only want the train lane).
+    if (mode == "train" and "BENCH_BATCH" not in os.environ
+            and os.environ.get("BENCH_EVAL_LANE", "1") == "1"):
+        try:
+            print(json.dumps(run_std_lane("eval", 16)), flush=True)
+        except Exception as e:            # eval lane is auxiliary — never
+            print(f"eval lane failed: {e}", flush=True)  # mask the train lane
+    print(json.dumps(run_std_lane(mode, batch_size)))
 
 
 if __name__ == "__main__":

@@ -75,8 +75,21 @@ def pytest_collection_modifyitems(config, items):
     import jax
     on_tpu = jax.default_backend() == "tpu"
     skip = pytest.mark.skip(reason="requires real TPU")
+    # Convergence tier: calibrated multi-hundred-step overfit lanes cost
+    # ~1h together (wrapper-timeout scale — the mechanism behind two
+    # truncated round-end artifacts).  Run them explicitly with
+    # `-m convergence` or MMVQA_CONVERGENCE=1; the default tier keeps
+    # reduced-step learning coverage (test_learning_smoke.py).
+    markexpr = config.getoption("-m") or ""
+    want_conv = (("convergence" in markexpr
+                  and "not convergence" not in markexpr)
+                 or _os.environ.get("MMVQA_CONVERGENCE") == "1")
+    skip_conv = pytest.mark.skip(
+        reason="calibrated convergence lane; run with -m convergence")
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip)
+        if "convergence" in item.keywords and not want_conv:
+            item.add_marker(skip_conv)
         if _os.path.basename(str(item.fspath)) in _FAST_MODULES:
             item.add_marker(pytest.mark.fast)

@@ -102,9 +102,9 @@ def make_caption_fixture(root: str, name: str = "roco") -> str:
 
 
 def tiny_config(data_root: str, vocab_path: str, label2ans_path: str = "",
-                **overrides):
+                task: str = "task_finetune_vqa_vqa_rad", **overrides):
     from mm_vqa_healthcare_tpu import config as C
-    cfg = C.compose(["task_finetune_vqa_vqa_rad", "tiny_debug"])
+    cfg = C.compose([task, "tiny_debug"])
     cfg.update(
         data_root=data_root,
         tokenizer_path=vocab_path,

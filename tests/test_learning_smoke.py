@@ -1,0 +1,181 @@
+"""Reduced-step learning smoke for every training lane (VERDICT r4 item 5).
+
+The calibrated overfit lanes (tests/test_overfit.py) prove convergence to
+~1.0 scores but cost ~55 min together — wrapper-timeout scale, the exact
+mechanism that truncated two round-end artifacts.  They now live behind
+`-m convergence` (round-end gate); THESE tests keep learning coverage in
+the default tier: each lane runs ~50-60 optimizer steps on the tiny
+fixture and asserts the train loss drops by a third.  A target-alignment
+bug, LR-group mislabel, or masking sign error fails here within minutes.
+
+Reference training semantics: /root/reference/m3ae/modules/
+m3ae_utils.py:112-242 (schedule/groups), objectives.py:14-234 (losses).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests import fixtures
+from tests.test_overfit import (_make_identical_splits_vqa,
+                                _make_overfit_caption_fixture,
+                                _make_single_image_vqa, _overfit_overrides)
+
+
+def _drop(losses, frac=0.67):
+    """True if the tail loss fell below `frac` of the head loss."""
+    head = float(np.mean(losses[:5]))
+    tail = float(np.mean(losses[-5:]))
+    return tail < frac * head, (head, tail)
+
+
+def _run_classifier_steps(cfg, steps):
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    t = Trainer(cfg)
+    dm = t.setup_data()
+    t.init_params()
+    t.setup_optimizer(max(1, len(dm.dataset("train")) // dm.batch_size))
+    train_step = t._get_jitted("train")
+    losses, step = [], 0
+    while step < steps:
+        for batch in dm.train_loader(step):
+            dev = t._device_batch(batch)
+            rng = jax.random.fold_in(t.rng, step)
+            t.params, t.opt_state, aux = train_step(
+                t.params, t.opt_state, dev, rng)
+            losses.append(float(jax.device_get(aux["loss"])))
+            step += 1
+            if step >= steps:
+                break
+    return losses
+
+
+def test_smoke_classifier_learns(tmp_path):
+    root = tmp_path / "fx"
+    root.mkdir()
+    data_root, _, vocab = _make_single_image_vqa(str(root))
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               **_overfit_overrides(tmp_path, 60))
+    losses = _run_classifier_steps(cfg, 60)
+    ok, (head, tail) = _drop(losses)
+    assert ok, f"classifier loss did not drop: {head:.4f} -> {tail:.4f}"
+
+
+def test_smoke_ehr_xqa_learns(tmp_path):
+    """The second VQA dataset's TRAIN path (its own config block, label
+    space, dataset registry name) — reference config.py:151-175.  The
+    reference ships EHR-XQA test-only; training through the same recipe
+    must still work when train/val arrows exist."""
+    from mm_vqa_healthcare_tpu.prepro.make_arrow import make_arrow_vqa_m3ae
+    root = str(tmp_path / "fx")
+    os.makedirs(root)
+    img = fixtures.make_images(os.path.join(root, "images"), n=1)[0]
+    data = {"train": [], "val": [], "test": []}
+    qid = 0
+    for split in ("train", "val", "test"):
+        for _ in range(8):
+            q, a, at = fixtures.QUESTIONS[qid % len(fixtures.QUESTIONS)]
+            data[split].append({"img_path": img, "qid": qid, "question": q,
+                                "answer": a, "answer_type": at})
+            qid += 1
+    data_root = os.path.join(root, "arrows")
+    os.makedirs(data_root)
+    make_arrow_vqa_m3ae(data, "vqa_ehr_xqa", data_root,
+                        label2ans_path=os.path.join(data_root,
+                                                    "label2ans.json"))
+    vocab = fixtures.write_vocab(os.path.join(root, "vocab.txt"))
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               task="task_finetune_vqa_ehr_xqa",
+                               **_overfit_overrides(tmp_path, 60))
+    losses = _run_classifier_steps(cfg, 60)
+    ok, (head, tail) = _drop(losses)
+    assert ok, f"ehr_xqa loss did not drop: {head:.4f} -> {tail:.4f}"
+
+
+def test_smoke_pretrain_learns(tmp_path, tmp_path_factory):
+    from mm_vqa_healthcare_tpu import config as C
+    from mm_vqa_healthcare_tpu.train.trainer import Trainer
+    root = tmp_path_factory.mktemp("smoke_pretrain")
+    data_root = _make_overfit_caption_fixture(str(root), name="roco")
+    vocab = fixtures.write_vocab(str(root / "vocab.txt"))
+    cfg = C.compose(["task_pretrain_m3ae", "tiny_debug"])
+    cfg.update(datasets=["roco"], data_root=data_root, tokenizer_path=vocab,
+               attention_impl="xla", num_workers=0, mim_layer=1,
+               mesh_shape={"data": 2}, per_gpu_batchsize=2, batch_size=4,
+               device_transforms=False)
+    cfg.update(_overfit_overrides(tmp_path, 60))
+    losses = _run_classifier_steps(cfg, 60)
+    ok, (head, tail) = _drop(losses, frac=0.75)
+    assert ok, f"pretrain loss did not drop: {head:.4f} -> {tail:.4f}"
+
+
+def test_smoke_decoder_learns(tmp_path, tmp_path_factory):
+    from mm_vqa_healthcare_tpu.train.decoder_trainer import DecoderTrainer
+    root = tmp_path_factory.mktemp("smoke_decoder")
+    data_root, _, vocab = _make_single_image_vqa(str(root))
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               mm_encoder_inputs_include_imagetext_feats=True,
+                               **_overfit_overrides(tmp_path, 60))
+    cfg["learning_rate"] = 2e-3
+    t = DecoderTrainer(cfg)
+    t.max_answer_length = 8
+    dm = t.setup_data()
+    t.init_params()
+    t.setup_optimizer(max(1, len(dm.dataset("train")) // dm.batch_size))
+    train_step = t._get_jitted("train")
+    losses, step = [], 0
+    while step < 60:
+        for batch in dm.train_loader(step):
+            dev = t._device_batch(batch, with_targets=True)
+            rng = jax.random.fold_in(t.rng, step)
+            t.params, t.opt_state, loss, _ = train_step(
+                t.params, t.opt_state, dev, rng)
+            losses.append(float(jax.device_get(loss)))
+            step += 1
+            if step >= 60:
+                break
+    ok, (head, tail) = _drop(losses)
+    assert ok, f"decoder TF loss did not drop: {head:.4f} -> {tail:.4f}"
+
+
+def test_smoke_t5_learns(tmp_path, tmp_path_factory, monkeypatch):
+    import mm_vqa_healthcare_tpu.models.t5 as t5_mod
+    from mm_vqa_healthcare_tpu.data.tokenization import load_tokenizer
+    from mm_vqa_healthcare_tpu.models.t5 import T5Config
+    from mm_vqa_healthcare_tpu.train.t5_trainer import T5Trainer
+    root = tmp_path_factory.mktemp("smoke_t5")
+    data_root, vocab = _make_identical_splits_vqa(str(root))
+    cfg = fixtures.tiny_config(data_root, vocab, t5_max_length=8,
+                               unfreeze_num_encoder_layers=2,
+                               unfreeze_num_decoder_layers=2,
+                               t5_generation=False,
+                               **_overfit_overrides(tmp_path, 60))
+    cfg["learning_rate"] = 3e-3
+    cfg["t5_encoder_max_seq_len"] = 24
+    cfg["mm_encoder_inputs_include_imagetext_feats"] = True
+    cfg["mm_encoder_inputs_mm_feats_width"] = 16
+    cfg["bug_compat"] = False
+    monkeypatch.setitem(t5_mod.T5_PRESETS, "t5-small", T5Config(
+        vocab_size=200, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2))
+    tok = load_tokenizer("tiny-bert", vocab)
+    t = T5Trainer(cfg, variant="mm", tokenizer=tok)
+    dm = t.setup_data()
+    t.init_params()
+    t.setup_optimizer(max(1, len(dm.dataset("train")) // dm.batch_size))
+    train_step = t._get_jitted("train")
+    losses, step = [], 0
+    while step < 60:
+        for batch in dm.train_loader(step):
+            dev = t._device_batch(batch, with_labels=True)
+            rng = jax.random.fold_in(t.rng, step)
+            t.params, t.opt_state, loss = train_step(
+                t.params, t.opt_state, dev, rng)
+            losses.append(float(jax.device_get(loss)))
+            step += 1
+            if step >= 60:
+                break
+    ok, (head, tail) = _drop(losses)
+    assert ok, f"T5 TF loss did not drop: {head:.4f} -> {tail:.4f}"
