@@ -295,7 +295,7 @@ class DecoderTrainer:
         if name not in self._jitted:
             rep = mesh_lib.replicated(self.mesh)
             data = mesh_lib.batch_sharding(self.mesh)
-            copts = xla_compiler_options()
+            copts = xla_compiler_options(self.config)
             if name == "train":
                 self._jitted[name] = jax.jit(
                     self._train_step_fn,

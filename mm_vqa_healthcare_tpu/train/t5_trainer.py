@@ -306,7 +306,7 @@ class T5Trainer:
             data = mesh_lib.batch_sharding(self.mesh)
             from mm_vqa_healthcare_tpu.train.trainer import \
                 xla_compiler_options
-            copts = xla_compiler_options()
+            copts = xla_compiler_options(self.config)
             if name == "train":
                 self._jitted[name] = jax.jit(
                     self._train_step_fn,

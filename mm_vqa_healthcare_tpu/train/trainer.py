@@ -34,24 +34,29 @@ from mm_vqa_healthcare_tpu.utils.logging import MetricLogger
 from mm_vqa_healthcare_tpu.utils.text_metrics import TextMetrics
 
 
-def xla_compiler_options():
-    """Optional per-run XLA compiler options for the jitted steps, from env
+def xla_compiler_options(config=None):
+    """Per-run XLA compiler options for the jitted steps, from env
     `MMVQA_XLA_OPTS="xla_tpu_foo=true,xla_tpu_bar=128"` (comma-separated
     key=value).  Compiler-level knobs only — numerics/parity are untouched;
-    used by the perf sweeps (run_scripts/bench_batch42_tpu.sh) to A/B
-    scheduler/vmem flags that XLA_FLAGS cannot reach through the remote
-    axon compile path."""
+    used by the perf sweeps (run_scripts/history/bench_batch42_tpu.sh) to
+    A/B scheduler/vmem flags that XLA_FLAGS cannot reach through the
+    remote axon compile path."""
     # TPU default (round 5): raise the compiler's scoped-VMEM heuristic
-    # limit from 16 MB toward the chip's physical VMEM.  Measured +0.55%
-    # on the driver train lane (batch42: 189.3 vs 188.3, twice) and
-    # REQUIRED for the pretrain lane at the 13 MB packed-bwd budget: the
-    # fusion vision-branch attention backward at 325 tokens actually
-    # allocates 16.81 MB on-chip (batch44 lane-0 compile failure at the
-    # 16 MB default limit) while the head-block estimator's working-set
-    # model says hb=2 fits.  MMVQA_XLA_OPTS overrides the same key, so
-    # A/Bs restore the old limit with xla_tpu_scoped_vmem_limit_kib=16384.
+    # limit from 16 MB toward the chip's physical VMEM.  Measured +0.45
+    # to +0.55% on the driver train lane (batch42 twice; batch45 lanes
+    # 3/4 paired: 189.42 vs 188.58) and REQUIRED for the pretrain lane at
+    # the 13 MB packed-bwd budget: the fusion vision-branch attention
+    # backward at 325 tokens actually allocates 16.81 MB on-chip (batch44
+    # lane-0 compile failure at the 16 MB default limit) while the
+    # head-block estimator's working-set model says hb=2 fits.  EXCEPT
+    # swin towers: their window kernels fit the 16 MB default and the
+    # higher limit measured -1.9% there (batch45 lanes 1/2 paired: 150.55
+    # vs 153.47) — XLA schedules prefetch buffering differently under the
+    # larger scoped budget.  MMVQA_XLA_OPTS overrides the same key, so
+    # A/Bs can force either direction (xla_tpu_scoped_vmem_limit_kib=...).
     opts = {}
-    if jax.default_backend() == "tpu":
+    swin_tower = bool(config) and "swin" in str(config.get("vit", "")).lower()
+    if jax.default_backend() == "tpu" and not swin_tower:
         opts["xla_tpu_scoped_vmem_limit_kib"] = "32768"
     s = os.environ.get("MMVQA_XLA_OPTS", "")
     opts.update({k: v for k, _, v in
@@ -349,10 +354,10 @@ class Trainer:
                 out_shardings=(leaf_sh(self.params),
                                leaf_sh(self.opt_state),
                                mesh_lib.replicated(self.mesh)),
-                compiler_options=xla_compiler_options())
+                compiler_options=xla_compiler_options(self.config))
         elif name == "eval":
             fn = jax.jit(self._eval_step_fn,
-                         compiler_options=xla_compiler_options())
+                         compiler_options=xla_compiler_options(self.config))
         self._jitted[name] = fn
         return fn
 
