@@ -210,6 +210,13 @@ def base_config() -> Dict[str, Any]:
         #             per-step concats don't fuse; PERF.md), kept for
         #             re-evaluation on future XLA versions.
         fused_optimizer=True,
+        # Adam moment STORAGE dtype (fused path only; DEVIATIONS #13):
+        # "auto" -> bfloat16 on TPU (28->20 B/param optimizer HBM stream,
+        # +2.1% on the driver train lane, batch46) / float32 elsewhere
+        # (CPU goldens stay bit-parity with optax.adamw).  The update
+        # arithmetic is always fp32 inside the fusion — only the stored
+        # m/v round.  Set "float32" for bit-exact reference-style state.
+        opt_moments_dtype="auto",
         # PRNG implementation for the training rng stream: "auto" (rbg on
         # TPU — hardware-accelerated bits, much cheaper dropout masks than
         # threefry — threefry elsewhere), "threefry", "rbg".

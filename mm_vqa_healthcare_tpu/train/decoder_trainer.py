@@ -163,7 +163,9 @@ class DecoderTrainer:
             self.tx = LeafFusedAdamW({"decay": sched, "nd": sched},
                                      {"decay": wd, "nd": 0.0},
                                      unflatten(labels),
-                                     accum_steps=self.grad_accum_steps)
+                                     accum_steps=self.grad_accum_steps,
+                                     moments_dtype=cfg.get(
+                                         "opt_moments_dtype", "float32"))
         else:
             self.tx = optax.multi_transform(
                 {"decay": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,

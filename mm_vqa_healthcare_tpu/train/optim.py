@@ -158,7 +158,7 @@ class LeafFusedAdamW:
 
     def __init__(self, schedules, wds, labels,
                  b1: float = 0.9, b2: float = 0.98, eps: float = 1e-8,
-                 accum_steps: int = 1):
+                 accum_steps: int = 1, moments_dtype: Optional[str] = None):
         from mm_vqa_healthcare_tpu.checkpoint.convert import flatten
         self._schedules = schedules          # group -> schedule(count)->lr
         self._wds = wds                      # group -> weight decay
@@ -171,15 +171,23 @@ class LeafFusedAdamW:
         # multi_transform, whose MaskedNode state structure flips between
         # init and the jitted update and forces a step-2 retrace.
         self._accum = max(1, int(accum_steps))
-        # Opt-in experiment: store Adam moments below fp32
-        # (MMVQA_OPT_MOMENTS_DTYPE=bfloat16 cuts optimizer HBM traffic
-        # 28->20 bytes/param/step; stats still accumulate in fp32 inside
-        # the fusion).  Default fp32 — bit-parity with optax.adamw; bf16
-        # second moments lose ~3 decimal digits and can destabilize long
-        # runs, so this is a measured knob, not a default.
+        # Moment STORAGE dtype (config `opt_moments_dtype`, DEVIATIONS
+        # #13): "auto" -> bfloat16 on TPU / float32 elsewhere.  The
+        # update arithmetic always runs fp32 inside the fusion (m/v are
+        # upcast on read, rounded on store), so this trades one storage
+        # rounding per step for 28->20 bytes/param of optimizer HBM
+        # traffic — measured +2.1% on the driver train lane (batch46:
+        # 193.2/193.3 vs 189.3, paired).  float32 remains bit-parity
+        # with optax.adamw (tests/test_optim_fused.py) and is the
+        # default off-TPU so CPU goldens stay exact.  Env
+        # MMVQA_OPT_MOMENTS_DTYPE overrides for A/Bs.
         import os
-        self._mdtype = jnp.dtype(
-            os.environ.get("MMVQA_OPT_MOMENTS_DTYPE", "float32"))
+        mdt = os.environ.get("MMVQA_OPT_MOMENTS_DTYPE",
+                             moments_dtype or "float32")
+        if mdt == "auto":
+            mdt = ("bfloat16" if jax.default_backend() == "tpu"
+                   else "float32")
+        self._mdtype = jnp.dtype(mdt)
 
     @staticmethod
     def _is_float(x):
@@ -406,7 +414,9 @@ def build_optimizer(config: Dict[str, Any], params, model_cfg,
             # (PERF.md round-2 ablation); kept for re-evaluation
             return FusedAdamW(scheds, wds, labels), make_sched(lr)
         return (LeafFusedAdamW(scheds, wds, labels,
-                               accum_steps=grad_accum_steps),
+                               accum_steps=grad_accum_steps,
+                               moments_dtype=config.get(
+                                   "opt_moments_dtype", "float32")),
                 make_sched(lr))
     groups = {
         "base": _single_group(optim_type, make_sched(lr), wd),

@@ -231,7 +231,9 @@ class T5Trainer:
             self.tx = LeafFusedAdamW({"train": sched},
                                      {"train": cfg["weight_decay"]},
                                      unflatten(labels),
-                                     accum_steps=self.grad_accum_steps)
+                                     accum_steps=self.grad_accum_steps,
+                                     moments_dtype=cfg.get(
+                                         "opt_moments_dtype", "float32"))
         else:
             self.tx = optax.multi_transform(
                 {"train": optax.adamw(sched, b1=0.9, b2=0.98, eps=1e-8,

@@ -63,6 +63,23 @@ def test_smoke_classifier_learns(tmp_path):
     assert ok, f"classifier loss did not drop: {head:.4f} -> {tail:.4f}"
 
 
+def test_smoke_classifier_learns_bf16_moments(tmp_path):
+    """Learning check with bf16 Adam moment STORAGE pinned explicitly —
+    the TPU default (opt_moments_dtype="auto" -> bfloat16 on chip,
+    DEVIATIONS #13).  On the CPU mesh "auto" resolves to fp32, so this
+    lane forces bfloat16 to prove the storage rounding does not break
+    optimization (the arithmetic stays fp32 inside the fusion)."""
+    root = tmp_path / "fx"
+    root.mkdir()
+    data_root, _, vocab = _make_single_image_vqa(str(root))
+    cfg = fixtures.tiny_config(data_root, vocab,
+                               opt_moments_dtype="bfloat16",
+                               **_overfit_overrides(tmp_path, 60))
+    losses = _run_classifier_steps(cfg, 60)
+    ok, (head, tail) = _drop(losses)
+    assert ok, f"bf16-moments loss did not drop: {head:.4f} -> {tail:.4f}"
+
+
 def test_smoke_ehr_xqa_learns(tmp_path):
     """The second VQA dataset's TRAIN path (its own config block, label
     space, dataset registry name) — reference config.py:151-175.  The
