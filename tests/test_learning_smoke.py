@@ -4,7 +4,7 @@ The calibrated overfit lanes (tests/test_overfit.py) prove convergence to
 ~1.0 scores but cost ~55 min together — wrapper-timeout scale, the exact
 mechanism that truncated two round-end artifacts.  They now live behind
 `-m convergence` (round-end gate); THESE tests keep learning coverage in
-the default tier: each lane runs ~50-60 optimizer steps on the tiny
+the default tier: each lane runs ~60-100 optimizer steps on the tiny
 fixture and asserts the train loss drops by a third.  A target-alignment
 bug, LR-group mislabel, or masking sign error fails here within minutes.
 
@@ -57,8 +57,11 @@ def test_smoke_classifier_learns(tmp_path):
     root.mkdir()
     data_root, _, vocab = _make_single_image_vqa(str(root))
     cfg = fixtures.tiny_config(data_root, vocab,
-                               **_overfit_overrides(tmp_path, 60))
-    losses = _run_classifier_steps(cfg, 60)
+                               **_overfit_overrides(tmp_path, 100))
+    # calibrated on the r5 hardware run: loss 3.42 -> 2.63 (-23%) by step
+    # 60, val score moves from step ~60 and hits 1.0 by ~120 — 100 steps
+    # gives the one-third drop real margin
+    losses = _run_classifier_steps(cfg, 100)
     ok, (head, tail) = _drop(losses)
     assert ok, f"classifier loss did not drop: {head:.4f} -> {tail:.4f}"
 
@@ -74,8 +77,8 @@ def test_smoke_classifier_learns_bf16_moments(tmp_path):
     data_root, _, vocab = _make_single_image_vqa(str(root))
     cfg = fixtures.tiny_config(data_root, vocab,
                                opt_moments_dtype="bfloat16",
-                               **_overfit_overrides(tmp_path, 60))
-    losses = _run_classifier_steps(cfg, 60)
+                               **_overfit_overrides(tmp_path, 100))
+    losses = _run_classifier_steps(cfg, 100)
     ok, (head, tail) = _drop(losses)
     assert ok, f"bf16-moments loss did not drop: {head:.4f} -> {tail:.4f}"
 
@@ -105,8 +108,8 @@ def test_smoke_ehr_xqa_learns(tmp_path):
     vocab = fixtures.write_vocab(os.path.join(root, "vocab.txt"))
     cfg = fixtures.tiny_config(data_root, vocab,
                                task="task_finetune_vqa_ehr_xqa",
-                               **_overfit_overrides(tmp_path, 60))
-    losses = _run_classifier_steps(cfg, 60)
+                               **_overfit_overrides(tmp_path, 100))
+    losses = _run_classifier_steps(cfg, 100)
     ok, (head, tail) = _drop(losses)
     assert ok, f"ehr_xqa loss did not drop: {head:.4f} -> {tail:.4f}"
 
