@@ -249,9 +249,12 @@ def test_overfit_t5_combined(tmp_path_factory, tmp_path, monkeypatch):
                                unfreeze_num_encoder_layers=2,
                                unfreeze_num_decoder_layers=2,
                                t5_generation=False,
-                               **_overfit_overrides(tmp_path, 600))
-    cfg["max_epoch"] = 300          # paces by epochs; steps sizes LR decay
-    cfg["learning_rate"] = 3e-3
+                               **_overfit_overrides(tmp_path, 1200))
+    cfg["max_epoch"] = 600          # paces by epochs; steps sizes LR decay
+    # Calibrated: 3e-3 oscillates on one open-ended sample (7/8 at 600
+    # AND 1200 steps — same wrong sample, an LR limit not a step count);
+    # 1.5e-3 reaches 8/8 by 1200 steps (~2 min lane).
+    cfg["learning_rate"] = 1.5e-3
     # room for context prefix + 3 pooled slots + question prefix + 16
     # question ids; the reference's full 512-position padding regime is
     # covered by test_overfit_t5_512_prompt
