@@ -105,6 +105,14 @@ def _default_impl() -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
+def _shortk_to_xla(sq: int, sk: int) -> bool:
+    """Route long-query/short-key attention to XLA when the experiment
+    env is set (see call sites)."""
+    import os
+    return (os.environ.get("MMVQA_ATTN_SHORTK_XLA") == "1"
+            and sk <= 64 and sq >= 256)
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           impl: str = "auto",
@@ -126,6 +134,14 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     if impl == "auto":
         impl = _default_impl()
+    if impl == "pallas" and _shortk_to_xla(q.shape[2], k.shape[2]):
+        # A/B experiment (MMVQA_ATTN_SHORTK_XLA=1): long-query/short-key
+        # cross attention (image queries over <=64 text keys) pads the
+        # kernel's key axis to the 128-lane tile — 4x VPU work on the
+        # score family for 32 real keys.  The XLA path materializes the
+        # tiny [B,H,Sq,Sk] score tensor instead (~28 MB at the fusion
+        # shapes — trivial HBM traffic at Sk=32).
+        impl = "xla"
     if impl == "pallas":
         from mm_vqa_healthcare_tpu.ops.flash_attention import fused_attention
         if dropout_rate > 0.0:
@@ -183,6 +199,8 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     if impl == "auto":
         impl = _default_impl()
+    if impl == "pallas" and _shortk_to_xla(q.shape[1], k.shape[1]):
+        impl = "xla"                    # see dot_product_attention
     if impl == "pallas" and _PACKED_ENABLED:
         from mm_vqa_healthcare_tpu.ops.flash_attention import (
             fused_attention_packed)
