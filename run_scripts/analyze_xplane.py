@@ -26,7 +26,11 @@ def load_xspace(path):
 
 
 FAMILIES = [
-    ("attention-kernel", re.compile(r"fused_attention|pallas|custom-call")),
+    # the pallas attention custom-calls surface under their kernel value
+    # names (%self.N / %attn.N / %cross.N) on this backend, not as
+    # "custom-call" (round-5 fix: they all landed in "other")
+    ("attention-kernel", re.compile(
+        r"fused_attention|pallas|custom-call|^%?(self|attn|cross)\.")),
     ("gemm/conv", re.compile(r"^(%?)(dot|conv|gemm)|fusion.*dot|convolution")),
     ("optimizer", re.compile(r"multiply_add|adam|update")),
     ("layernorm", re.compile(r"reduce.*(add|mean)|norm")),
@@ -57,9 +61,25 @@ def main():
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         ev_meta = plane.event_metadata
-        # steps in the capture window -> per-step division
-        steps = next((len(l.events) for l in plane.lines
-                      if l.name == "Steps"), None)
+        # steps in the capture window -> per-step division.  Prefer the
+        # "XLA Modules" line (one event per executed program) over
+        # "Steps": under the axon remote-execution backend the Steps
+        # line carries sub-step launch events (round 5: a 5-step trace
+        # reported 200 "steps", scaling every per-step number down 40x
+        # — result/r5_batch47b_profile.log).  Filter modules to the
+        # dominant program so warmup/eval jits don't inflate the count.
+        steps = None
+        mods = next((l for l in plane.lines if l.name == "XLA Modules"),
+                    None)
+        if mods is not None and mods.events:
+            per_prog = collections.Counter()
+            for ev in mods.events:
+                meta = plane.event_metadata.get(ev.metadata_id)
+                per_prog[meta.name if meta else ev.metadata_id] += 1
+            steps = max(per_prog.values())
+        if steps is None:
+            steps = next((len(l.events) for l in plane.lines
+                          if l.name == "Steps"), None)
         div = n_steps or steps or 1
         for lname in ("XLA Ops", "Async XLA Ops"):
             line = next((l for l in plane.lines if l.name == lname), None)
